@@ -1,0 +1,171 @@
+"""Configuration system for qinco-tpu.
+
+Hydra-free re-implementation of the reference's config surface
+(reference: config/qinco_cfg.yaml, run.py:34-45, qinco/utils.py:16-40).
+Key differences from the reference, by design:
+
+- The reference threads a mutable ``SharedCfgState`` god-object through
+  every module, mixing YAML values with runtime registers
+  (``qinco/utils.py:16-40``).  Here the YAML config is a plain nested
+  namespace (:class:`Config`) and all runtime state lives in explicit
+  dataclasses / pytrees owned by the task.
+- Model hyper-parameters that must be static under ``jax.jit`` are
+  extracted into the frozen, hashable :class:`qinco_tpu.models.spec.QincoSpec`.
+
+Supports ``model_args=<preset>`` overlays and dotted CLI overrides
+(``ds.loop=100000``), matching the reference's Hydra UX.
+"""
+
+from __future__ import annotations
+
+import copy
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+_CONFIG_DIR = Path(__file__).parent / "configs"
+
+
+class Config:
+    """Nested attribute/dict-style view over a plain dict tree."""
+
+    def __init__(self, tree: dict):
+        object.__setattr__(self, "_tree", tree)
+
+    # -- attribute & item access -------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            val = self._tree[name]
+        except KeyError:
+            raise AttributeError(f"No config key {name!r}") from None
+        if isinstance(val, dict):
+            return Config(val)
+        return val
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+        else:
+            self._tree[name] = value
+
+    def __getitem__(self, name: str) -> Any:
+        return getattr(self, name)
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        setattr(self, name, value)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tree
+
+    def get(self, name: str, default: Any = None) -> Any:
+        val = self._tree.get(name, default)
+        if isinstance(val, dict):
+            return Config(val)
+        return val
+
+    def keys(self):
+        return self._tree.keys()
+
+    def items(self):
+        return self._tree.items()
+
+    def to_dict(self) -> dict:
+        return copy.deepcopy(self._tree)
+
+    def __repr__(self) -> str:
+        return "Config(" + yaml.safe_dump(self._tree, default_flow_style=False) + ")"
+
+
+def _deep_update(dst: dict, src: dict) -> dict:
+    for key, val in src.items():
+        if isinstance(val, dict) and isinstance(dst.get(key), dict):
+            _deep_update(dst[key], val)
+        else:
+            dst[key] = val
+    return dst
+
+
+def _parse_value(text: str) -> Any:
+    """Parse a CLI value with YAML semantics (int/float/bool/null/list)."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def _set_dotted(tree: dict, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+        if not isinstance(node, dict):
+            raise ValueError(f"Cannot override non-dict key {part!r} in {dotted!r}")
+    node[parts[-1]] = value
+
+
+def available_presets() -> list[str]:
+    return sorted(p.stem for p in (_CONFIG_DIR / "model_args").glob("*.yaml"))
+
+
+def load_config(
+    overrides: list[str] | dict | None = None,
+    *,
+    preset: str | None = None,
+) -> Config:
+    """Build a config from defaults + optional model preset + overrides.
+
+    ``overrides`` may be a list of ``key=value`` strings (CLI style, dotted
+    keys allowed) or a plain dict.  ``model_args=<preset>`` inside the
+    overrides selects a preset, mirroring the reference CLI.
+    """
+    with open(_CONFIG_DIR / "default.yaml") as f:
+        tree = yaml.safe_load(f)
+
+    kv_overrides: list[tuple[str, Any]] = []
+    if isinstance(overrides, dict):
+        kv_overrides = list(overrides.items())
+    elif overrides:
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(f"Override {item!r} must look like key=value")
+            key, _, val = item.partition("=")
+            kv_overrides.append((key, _parse_value(val)))
+
+    # A preset can come from the explicit arg or a model_args=... override.
+    for key, val in list(kv_overrides):
+        if key == "model_args":
+            preset = val
+            kv_overrides.remove((key, val))
+
+    if preset:
+        preset_path = _CONFIG_DIR / "model_args" / f"{preset}.yaml"
+        if not preset_path.exists():
+            raise ValueError(
+                f"Unknown model preset {preset!r}; available: {available_presets()}"
+            )
+        with open(preset_path) as f:
+            _deep_update(tree, yaml.safe_load(f))
+
+    for key, val in kv_overrides:
+        _set_dotted(tree, key, val)
+
+    return Config(tree)
+
+
+def apply_dataset_preset(cfg: Config) -> None:
+    """If ``cfg.db`` names a known dataset, populate its paths
+    (reference: qinco/qinco_tasks.py:360-371)."""
+    presets = cfg._tree.get("default_datasets", {})
+    if cfg.db in presets:
+        ds_preset = presets[cfg.db]
+        for key, val in ds_preset.items():
+            if key == "limit_db":
+                cfg.ds.db = min(cfg.ds.db or val, val)
+            elif key == "mse_scale":
+                cfg.mse_scale = val
+            else:
+                assert key in ("db", "trainset", "queries", "queries_gt")
+                cfg[key] = val

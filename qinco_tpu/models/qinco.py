@@ -1,0 +1,362 @@
+"""Functional QINCo2 core: decode, beam-search encode, training forward.
+
+One pure-functional implementation replaces the reference's three torch
+module families sharing the same weights (training model
+qinco/model/qinco_base.py:204-549, inference encoder/decoder
+qinco/model/qinco_inference.py:19-354, TorchScript wrapper :257-354) —
+``jax.jit`` specializes each entry point, so no separate "inference
+optimized" model is needed.
+
+TPU-first design decisions:
+- **lax.scan over stacked step parameters**: every MLP step after the
+  first runs identical static shapes ``(N, B, A', D)``, so the chain of M
+  steps is a single compiled scan body instead of M unrolled modules.
+- **Static shapes throughout**: beam width B, candidate count A', and the
+  batch are compile-time constants; the final "take beam 0" replaces the
+  reference's per-step F_out switch (qinco_base.py:310) because top-k
+  returns candidates sorted ascending by distance — beam 0 of the last
+  step *is* the argmin the reference computes.
+- **f32 accumulation** on every matmul (``preferred_element_type``), with
+  optional bf16 activations for the MLP (spec.compute_dtype).
+- The code-history "repeat_interleave + gather" of the reference
+  (qinco_inference.py:207-210) becomes a single broadcasted
+  ``take_along_axis`` permutation of the whole (M, N, F) history buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.distances import (
+    batch_sqdist_partial,
+    chunked_argmin,
+    pairwise_sqdist_partial,
+    sqdist_topk,
+    topk_smallest,
+)
+from .params import ModelState, QincoParams, StepParams
+from .spec import QincoSpec
+
+
+class EncodeStats(NamedTuple):
+    """Per-MLP-step residual statistics feeding the EMA buffers
+    (reference: qinco_base.py:292-304)."""
+
+    xtarget_mean: jnp.ndarray  # (Ms, D)
+    xtarget_std: jnp.ndarray  # (Ms, D)
+
+
+# ---------------------------------------------------------------------------
+# The per-step MLP ("implicit neural codebook" predictor)
+# ---------------------------------------------------------------------------
+
+
+def step_predict(
+    spec: QincoSpec, p: StepParams, cand: jnp.ndarray, cond: jnp.ndarray
+) -> jnp.ndarray:
+    """Map raw codewords ``cand (..., A, D)`` conditioned on the current
+    reconstruction ``cond (..., D)`` to predicted codewords (..., A, D).
+
+    Mirrors QINCoStep.forward (reference: qinco_base.py:262-280):
+    in_proj -> residual concat-MLP -> L residual FFN blocks -> out_proj
+    [-> + raw codeword in QINCo2 mode].  Output is float32.
+    """
+    dt = jnp.dtype(spec.compute_dtype)
+    h = cand.astype(dt)
+    cond_b = jnp.broadcast_to(cond[..., None, :], cand.shape).astype(dt)
+
+    if p.in_proj is not None:
+        h = jnp.dot(h, p.in_proj.astype(dt), preferred_element_type=jnp.float32)
+        h = h.astype(dt)
+
+    cc = jnp.concatenate([h, cond_b], axis=-1)
+    cc = (
+        jnp.dot(cc, p.concat_w.astype(dt), preferred_element_type=jnp.float32)
+        + p.concat_b
+    )
+    h = h + cc.astype(dt)
+
+    for l in range(spec.L):
+        up = jnp.dot(h, p.ffn_up[l].astype(dt), preferred_element_type=jnp.float32)
+        up = jax.nn.relu(up).astype(dt)
+        down = jnp.dot(up, p.ffn_down[l].astype(dt), preferred_element_type=jnp.float32)
+        h = h + down.astype(dt)
+
+    if p.out_proj is not None:
+        out = jnp.dot(h, p.out_proj.astype(dt), preferred_element_type=jnp.float32)
+    else:
+        out = h.astype(jnp.float32)
+
+    if spec.res_codeword_coeff:
+        out = out + cand.astype(jnp.float32)
+    return out
+
+
+def step_decode(
+    spec: QincoSpec, p: StepParams, codes: jnp.ndarray, xhat: jnp.ndarray
+) -> jnp.ndarray:
+    """Decode one step: predicted codeword for ``codes (N,)`` given
+    ``xhat (N, D)`` (reference: qinco_base.py:282-290)."""
+    cw = p.codebook[codes]  # (N, D)
+    return step_predict(spec, p, cw[:, None, :], xhat)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def decode(params: QincoParams, spec: QincoSpec, codes: jnp.ndarray) -> jnp.ndarray:
+    """Additive decode of ``codes (M_ivf, N) -> xhat (N, D)`` in normalized
+    space (reference: qinco_base.py:447-452, qinco_inference.py:66-75)."""
+    assert codes.shape[0] == spec.M_ivf
+    xhat = params.codebook0[codes[0]]
+
+    def body(xhat, xs):
+        p, c = xs
+        return xhat + step_decode(spec, p, c, xhat), None
+
+    xhat, _ = jax.lax.scan(body, xhat, (params.steps, codes[1:]))
+    return xhat
+
+
+def decode_raw(params: QincoParams, spec: QincoSpec, codes: jnp.ndarray) -> jnp.ndarray:
+    """Decode to raw data space (denormalized)."""
+    return decode(params, spec, codes) * params.data_std + params.data_mean
+
+
+# ---------------------------------------------------------------------------
+# Beam-search encode
+# ---------------------------------------------------------------------------
+
+
+def _beam_step(
+    spec: QincoSpec,
+    p: StepParams,
+    x: jnp.ndarray,  # (N, D) target
+    xhat: jnp.ndarray,  # (N, F_in, D)
+    hist: jnp.ndarray,  # (M_ivf, N, F_in) code history (rows >= m are zeros)
+    m,  # step row to write (int or traced)
+    F_out: int,
+    n_codes: int,
+):
+    """One beam-search step (reference: qinco_base.py:292-374)."""
+    N, F_in, D = xhat.shape
+    NF = N * F_in
+    xh = xhat.reshape(NF, D)
+    x_f = jnp.broadcast_to(x[:, None, :], (N, F_in, D)).reshape(NF, D)
+
+    if spec.has_substep():
+        # Substep pre-selection: top n_codes fixed-codebook candidates for
+        # the residual (reference: qinco_base.py:114-121).
+        top_idx, _ = sqdist_topk(x_f - xh, p.sub_codebook, n_codes)  # (NF, n)
+        cand = p.codebook[top_idx]  # (NF, n, D)
+        A_eff = n_codes
+    else:
+        A_eff = spec.K
+        cand = jnp.broadcast_to(p.codebook[None], (NF, spec.K, D))
+        top_idx = None
+
+    pred = step_predict(spec, p, cand, xh)  # (NF, A_eff, D) f32
+    cand_abs = pred + xh[:, None, :]
+
+    flat = cand_abs.reshape(N, F_in * A_eff, D)
+    dists = batch_sqdist_partial(x[:, None, :], flat)[:, 0]  # (N, F_in*A_eff)
+    sel, _ = topk_smallest(dists, F_out)  # (N, F_out) ascending
+
+    f_in_idx = sel // A_eff
+    if top_idx is not None:
+        real = jnp.take_along_axis(top_idx.reshape(N, F_in * A_eff), sel, axis=1)
+    else:
+        real = sel % spec.K
+
+    # Permute the *whole* history along the beam axis, then append.
+    hist = jnp.take_along_axis(hist, f_in_idx[None], axis=2)
+    hist = hist.at[m].set(real.astype(jnp.int32))
+
+    xhat_next = jnp.take_along_axis(flat, sel[..., None], axis=1)  # (N, F_out, D)
+
+    x_target = x[:, None, :] - xhat  # (N, F_in, D)
+    t_mean = jnp.mean(x_target, axis=(0, 1))
+    t_std = jnp.std(x_target, axis=(0, 1), ddof=1)
+    return xhat_next, hist, (t_mean, t_std)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "ivf_chunk"))
+def encode(
+    params: QincoParams,
+    spec: QincoSpec,
+    x: jnp.ndarray,
+    ivf_chunk: int = 65536,
+) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
+    """Beam-search encode ``x (N, D)`` (normalized space).
+
+    Returns (codes (M_ivf, N) int32, xhat (N, D), EncodeStats).
+    """
+    N, D = x.shape
+    Ms = spec.n_mlp_steps
+
+    # ---- step 0: plain codebook assignment --------------------------------
+    if spec.ivf_in_use:
+        codes0, _ = chunked_argmin(x, params.codebook0, chunk=ivf_chunk)
+        codes0 = codes0[:, None]  # (N, 1): beam enters the MLP chain at 1
+    else:
+        codes0, _ = sqdist_topk(x, params.codebook0, spec.beam0)  # (N, beam0)
+    xhat = params.codebook0[codes0].astype(jnp.float32)  # (N, F0, D)
+
+    hist = jnp.zeros((spec.M_ivf, N, codes0.shape[1]), jnp.int32)
+    hist = hist.at[0].set(codes0.astype(jnp.int32))
+
+    if Ms == 0:
+        return hist[:, :, 0], xhat[:, 0], EncodeStats(
+            jnp.zeros((0, D)), jnp.ones((0, D))
+        )
+
+    # ---- first MLP step: expands the beam F0 -> B (specialized shapes) ----
+    p0 = jax.tree.map(lambda a: a[0], params.steps)
+    xhat, hist, (m0, s0) = _beam_step(
+        spec, p0, x, xhat, hist, 1, F_out=spec.B, n_codes=spec.n_codes_at(0)
+    )
+
+    # ---- remaining MLP steps: uniform scan at beam B ----------------------
+    if Ms > 1:
+        rest = jax.tree.map(lambda a: a[1:], params.steps)
+        n_codes = spec.n_codes_at(1)
+
+        def body(carry, p):
+            xhat, hist, m = carry
+            xhat, hist, stats = _beam_step(
+                spec, p, x, xhat, hist, m, F_out=spec.B, n_codes=n_codes
+            )
+            return (xhat, hist, m + 1), stats
+
+        (xhat, hist, _), (means, stds) = jax.lax.scan(
+            body, (xhat, hist, jnp.int32(2)), rest
+        )
+        means = jnp.concatenate([m0[None], means])
+        stds = jnp.concatenate([s0[None], stds])
+    else:
+        means, stds = m0[None], s0[None]
+
+    # Beams are sorted ascending by distance: beam 0 is the argmin the
+    # reference materializes via F_out=1 on the last step.
+    return hist[:, :, 0], xhat[:, 0], EncodeStats(means, stds)
+
+
+def encode_raw(
+    params: QincoParams, spec: QincoSpec, x: jnp.ndarray, **kw
+) -> jnp.ndarray:
+    """Encode raw-space vectors; returns codes only (reference model(x,
+    step='encode'), qinco_base.py:532-534)."""
+    x_n = (x - params.data_mean) / params.data_std
+    codes, _, _ = encode(params, spec, x_n, **kw)
+    return codes
+
+
+def default_encode_batch(spec: QincoSpec, enc_max_bs: int = 65536) -> int:
+    """Vector micro-batch under the candidate-tensor memory budget
+    (reference: qinco_base.py:454-472)."""
+    return max(1, enc_max_bs // (spec.B * (spec.A or 1)))
+
+
+def encode_chunked(
+    params: QincoParams,
+    spec: QincoSpec,
+    x,
+    *,
+    batch: int | None = None,
+    enc_max_bs: int = 65536,
+):
+    """Host-side driver: encode any-length ``x`` in fixed-shape chunks
+    (one compiled shape), zero-padding the tail.  Returns codes (M_ivf, N).
+    """
+    import numpy as np
+
+    n = len(x)
+    bs = batch or default_encode_batch(spec, enc_max_bs)
+    out = np.empty((spec.M_ivf, n), dtype=np.int32)
+    for i in range(0, n, bs):
+        chunk = np.asarray(x[i : i + bs], dtype=np.float32)
+        n_valid = len(chunk)
+        if n_valid < bs:
+            chunk = np.concatenate(
+                [chunk, np.zeros((bs - n_valid, chunk.shape[1]), np.float32)]
+            )
+        codes = encode_raw(params, spec, jnp.asarray(chunk))
+        out[:, i : i + n_valid] = np.asarray(codes)[:, :n_valid]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Training forward (losses)
+# ---------------------------------------------------------------------------
+
+
+def train_losses(
+    params: QincoParams,
+    spec: QincoSpec,
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Per-step decode losses given fixed codes
+    (reference: qinco_base.py:487-503, 376-383).
+
+    ``x`` is in normalized space; ``codes`` come from a no-grad encode.
+    ``weights (N,)`` optionally masks padded rows.
+    Returns (total_loss, dict of scalar losses).
+    """
+    N = x.shape[0]
+    if weights is None:
+        weights = jnp.ones((N,), jnp.float32)
+    denom = jnp.maximum(weights.sum(), 1.0) * spec.D
+
+    def wmean(sq_err):  # sq_err (N, D)
+        return jnp.sum(sq_err * weights[:, None]) / denom
+
+    codebook0 = params.codebook0
+    if spec.ivf_in_use:
+        codebook0 = jax.lax.stop_gradient(codebook0)  # frozen IVF book
+    xhat = codebook0[codes[0]]
+
+    losses = {}
+    if not spec.ivf_in_use:
+        losses["mse_loss_step0"] = wmean((xhat - x) ** 2)
+
+    def body(xhat, xs):
+        p, c = xs
+        xhat_prev = xhat
+        xhat = xhat + step_decode(spec, p, c, xhat)
+        mse = wmean((xhat - x) ** 2)
+        if spec.has_substep():
+            # Substep loss trains the fixed pre-selection codebook to chase
+            # the residual (reference: qinco_base.py:123-125, 376-383).
+            sub_rec = jax.lax.stop_gradient(xhat_prev) + p.sub_codebook[c]
+            sub = wmean((sub_rec - x) ** 2)
+        else:
+            sub = jnp.float32(0.0)
+        return xhat, (mse, sub)
+
+    xhat, (mses, subs) = jax.lax.scan(body, xhat, (params.steps, codes[1:]))
+
+    losses["mse_loss"] = jnp.sum(mses) + losses.pop("mse_loss_step0", 0.0)
+    if spec.has_substep():
+        losses["loss_substep"] = jnp.sum(subs)
+    total = sum(losses.values())
+    return total, {**losses, "xhat": xhat}
+
+
+def train_forward(
+    params: QincoParams, spec: QincoSpec, x_raw: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, dict, EncodeStats]:
+    """Full training forward: normalize, no-grad encode, decode losses
+    (reference: qinco_base.py:524-531)."""
+    x = (x_raw - params.data_mean) / params.data_std
+    codes, _, stats = encode(jax.lax.stop_gradient(params), spec, x)
+    total, aux = train_losses(params, spec, x, codes)
+    return total, codes, aux, stats

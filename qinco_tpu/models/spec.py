@@ -1,0 +1,101 @@
+"""Static model specification.
+
+Everything ``jax.jit`` must treat as compile-time constant lives here, in
+one frozen hashable dataclass.  This replaces the reference's scattered
+hyper-parameter reads off the mutable config object
+(reference: qinco/model/qinco_base.py:204-260, qinco_tasks.py:376-383).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class QincoSpec:
+    D: int  # data dimension
+    K: int = 256  # codewords per step
+    M: int = 8  # number of (non-IVF) quantization steps
+    L: int = 2  # residual FFN blocks per step
+    de: int | None = 128  # embed dim (None -> D)
+    dh: int = 256  # FFN hidden dim
+    A: int = 16  # substep candidates (0 = disabled, score all K)
+    B: int = 32  # beam width (1 = greedy)
+    ivf_K: int = 0  # IVF codebook size; 0 = no IVF step
+    qinco1_mode: bool = False
+    compute_dtype: str = "float32"  # matmul activation dtype for the MLP
+
+    # ---- derived sizes ---------------------------------------------------
+    @property
+    def De(self) -> int:
+        return self.de or self.D
+
+    @property
+    def ivf_in_use(self) -> bool:
+        return self.ivf_K > 0
+
+    @property
+    def M_ivf(self) -> int:
+        """Total number of codebooks incl. the IVF step
+        (reference: qinco_tasks.py:378-383)."""
+        return self.M + 1 if self.ivf_in_use else self.M
+
+    @property
+    def n_mlp_steps(self) -> int:
+        """Steps carrying an MLP: all but step 0."""
+        return self.M_ivf - 1
+
+    @property
+    def K_vals(self) -> tuple[int, ...]:
+        ks = [self.K] * self.M
+        if self.ivf_in_use:
+            ks.insert(0, self.ivf_K)
+        return tuple(ks)
+
+    @property
+    def K0(self) -> int:
+        return self.ivf_K if self.ivf_in_use else self.K
+
+    @property
+    def beam0(self) -> int:
+        """Beam width coming out of step 0
+        (reference: qinco_inference.py:237)."""
+        return 1 if self.ivf_in_use else min(self.B, self.K0)
+
+    def n_codes_at(self, i_mlp: int) -> int:
+        """Substep candidate count for MLP step ``i_mlp`` (0-based over MLP
+        steps).  The first beam-expanding step needs >= B candidates
+        (reference: qinco_base.py:105-112)."""
+        if self.A == 0:
+            return self.K
+        expanding = (i_mlp == 0) and self.ivf_in_use
+        return max(self.B, self.A) if expanding else self.A
+
+    def has_substep(self) -> bool:
+        return self.A > 0
+
+    @property
+    def res_codeword_coeff(self) -> float:
+        """QINCo2 adds the raw codeword back after the MLP; QINCo1 does not
+        (reference: qinco_base.py:277-278, qinco_inference.py:29)."""
+        return 0.0 if self.qinco1_mode else 1.0
+
+    def with_(self, **kw) -> "QincoSpec":
+        return dataclasses.replace(self, **kw)
+
+
+def spec_from_cfg(cfg, D: int) -> QincoSpec:
+    """Build the static spec from a loaded Config + known data dim."""
+    return QincoSpec(
+        D=D,
+        K=int(cfg.K),
+        M=int(cfg.M),
+        L=int(cfg.L),
+        de=(int(cfg.de) if cfg.de else None),
+        dh=int(cfg.dh),
+        A=int(cfg.A or 0),
+        B=int(cfg.B or 1),
+        ivf_K=int(cfg.ivf_K) if (cfg.ivf_in_use and cfg.ivf_K) else 0,
+        qinco1_mode=bool(cfg.qinco1_mode),
+        compute_dtype=str(cfg.get("compute_dtype", "float32")),
+    )
