@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: QINCo2-S beam-search encode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the only end-to-end encode throughput figure published inside
+the reference repo — 1M × 256-d vectors in 349.6 s ≈ 2,860 vec/s on one
+GPU (reference: qinco_v1/docs/PQ_QINCo.md:62; see BASELINE.md).  Our
+metric is the QINCo2-S full pipeline (substep pre-selection A=16, beam
+B=32, M=8 steps, K=256, D=128) which does strictly more work per vector
+than that baseline's PQ variant.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qinco_tpu.models import init_params
+    from qinco_tpu.models.spec import QincoSpec
+
+    spec = QincoSpec(D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32)
+    params = init_params(jax.random.PRNGKey(0), spec)
+
+    batch = 4096
+    n_iter = 8
+
+    # One dispatch runs all batches (scan) and reduces to a scalar that we
+    # materialize on the host: on the remote-TPU transport,
+    # block_until_ready alone does NOT guarantee completion — only host
+    # readback does.
+    from qinco_tpu.models.qinco import encode as encode_n
+
+    @jax.jit
+    def encode_many(params, xs):
+        def body(_, x):
+            codes, _, _ = encode_n(params, spec, x)
+            return None, codes.sum()
+
+        _, sums = jax.lax.scan(body, None, xs)
+        return sums.sum()
+
+    xs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_iter, batch, spec.D)).astype(np.float32)
+    )
+    float(encode_many(params, xs))  # compile + warm-up
+
+    t0 = time.perf_counter()
+    float(encode_many(params, xs))  # host readback forces completion
+    dt = time.perf_counter() - t0
+
+    vec_per_s = batch * n_iter / dt
+    baseline = 2860.0  # vec/s, reference PQ-QINCo encode on 1 GPU
+    print(
+        json.dumps(
+            {
+                "metric": "qinco2-S_encode_throughput_1chip",
+                "value": round(vec_per_s, 1),
+                "unit": "vectors/s",
+                "vs_baseline": round(vec_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

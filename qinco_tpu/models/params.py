@@ -57,6 +57,8 @@ class ModelState(NamedTuple):
 
     xtarget_mean: jnp.ndarray  # (M_ivf - 1, D) EMA of per-step residual mean
     xtarget_var: jnp.ndarray  # (M_ivf - 1, D) EMA of per-step residual std
+    x0_mean: jnp.ndarray  # (D,) EMA of step-0 input mean (normalized space)
+    x0_std: jnp.ndarray  # (D,) EMA of step-0 input std
     usage0: jnp.ndarray  # (K0,) step-0 codeword usage this epoch
     usage: jnp.ndarray  # (M_ivf - 1, K) per-step codeword usage this epoch
 
@@ -96,7 +98,8 @@ def _init_one_step(key, spec: QincoSpec) -> StepParams:
         out_proj = None
 
     codebook = jax.random.normal(ks[6], (K, D), jnp.float32)
-    sub_codebook = codebook if spec.has_substep() else None
+    # distinct buffer: aliased leaves break jit buffer donation
+    sub_codebook = codebook.copy() if spec.has_substep() else None
     return StepParams(
         codebook=codebook,
         sub_codebook=sub_codebook,
@@ -147,6 +150,8 @@ def init_model_state(spec: QincoSpec) -> ModelState:
     return ModelState(
         xtarget_mean=jnp.zeros((Ms, spec.D), jnp.float32),
         xtarget_var=jnp.ones((Ms, spec.D), jnp.float32),
+        x0_mean=jnp.zeros((spec.D,), jnp.float32),
+        x0_std=jnp.ones((spec.D,), jnp.float32),
         usage0=jnp.zeros((spec.K0,), jnp.int32),
         usage=jnp.zeros((Ms, spec.K), jnp.int32),
     )
@@ -185,14 +190,14 @@ def set_codebooks_from_rq(
         stacked = jnp.stack(new_books)
         steps = params.steps._replace(codebook=stacked)
         if spec.has_substep():
-            steps = steps._replace(sub_codebook=stacked)
+            steps = steps._replace(sub_codebook=stacked.copy())
         return params._replace(steps=steps)
 
     codebook0 = new_books[0]
     stacked = jnp.stack(new_books[1:])
     steps = params.steps._replace(codebook=stacked)
     if spec.has_substep():
-        steps = steps._replace(sub_codebook=stacked)
+        steps = steps._replace(sub_codebook=stacked.copy())
     return params._replace(codebook0=codebook0, steps=steps)
 
 

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""qinco-tpu CLI.
+
+Usage mirrors the reference's Hydra entry point (reference: run.py:34-45):
+
+    python run_qinco.py task=train model_args=qinco2-S db=bigann1M \\
+        output=models/qinco2-S.npz ds.loop=500000
+
+Any config key accepts a dotted ``key=value`` override; ``model_args=``
+selects a preset from qinco_tpu/configs/model_args/.
+"""
+
+import sys
+
+from qinco_tpu.config import load_config
+from qinco_tpu.tasks import get_task
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if any(a in ("-h", "--help") for a in argv):
+        print(__doc__)
+        return 0
+    cfg = load_config(argv)
+    if cfg.task is None:
+        raise SystemExit(
+            "Please specify a task (train, eval, ...) using 'task=<name>'"
+        )
+    task = get_task(cfg.task)(cfg)
+    print(f"====================== RUNNING TASK {cfg.task}", flush=True)
+    task.run()
+    print("Task done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
