@@ -1,0 +1,139 @@
+"""Behavioral parity against the actual reference implementation.
+
+Imports the reference's torch model (read-only, from /root/reference),
+builds it with random weights, converts its state_dict through our
+``params_from_torch_state`` importer, and checks that encode codes and
+decode reconstructions agree.  This is the strongest possible parity
+oracle available offline (pretrained checkpoints can't be downloaded in
+this environment).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+class _FakeAccel:
+    device = torch.device("cpu")
+
+    def print(self, *a, **k):
+        pass
+
+
+def _make_ref_model(D=16, K=16, M=3, L=2, de=12, dh=20, A=4, B=3, qinco1=False):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from qinco.utils import SharedCfgState  # reference module
+    from qinco.model.qinco_base import QINCo
+
+    cfg = SharedCfgState(
+        {
+            "K": K,
+            "M": M,
+            "L": L,
+            "de": de,
+            "dh": dh,
+            "A": A,
+            "B": B,
+            "ivf_K": None,
+            "ivf_in_use": False,
+            "qinco1_mode": qinco1,
+            "task": "eval",
+            "enc_max_bs": 2**30,
+            "codebook_noise_init": 0.1,
+        }
+    )
+    cfg._accelerator = _FakeAccel()
+    cfg._M_ivf = M
+    cfg._K_vals = [K] * M
+    cfg._D = D
+    cfg._ivf_book = None
+    cfg._qinco_jit = False
+
+    torch.manual_seed(0)
+    model = QINCo(cfg)
+    model.data_mean.copy_(torch.randn(D) * 0.1)
+    model.data_std.copy_(torch.tensor(1.5))
+    # randomize the zero-initialized weights so the MLP is non-trivial
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.abs().sum() == 0:
+                p.add_(torch.randn_like(p) * 0.05)
+    model.eval()
+    return model, cfg
+
+
+def _convert(model, spec):
+    import jax
+
+    from qinco_tpu.checkpoint import params_from_torch_state
+    from qinco_tpu.models.params import init_model_state, init_params
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    template = init_params(jax.random.PRNGKey(0), spec)
+    mstate = init_model_state(spec)
+    return params_from_torch_state(sd, spec, template, mstate)
+
+
+@pytest.mark.parametrize("qinco1", [False, True])
+def test_decode_parity_with_reference(qinco1):
+    from qinco_tpu.models.spec import QincoSpec
+    from qinco_tpu.models.qinco import decode
+
+    D, K, M, L, de, dh = 16, 16, 3, 2, 12, 20
+    A, B = (0, 1) if qinco1 else (4, 3)
+    model, cfg = _make_ref_model(D, K, M, L, de, dh, A, B, qinco1)
+    spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=A, B=B, qinco1_mode=qinco1)
+    params, _ = _convert(model, spec)
+
+    rng = np.random.default_rng(0)
+    codes = np.stack([rng.integers(0, K, size=32) for _ in range(M)]).astype(np.int64)
+
+    with torch.no_grad():
+        # reference decode works in normalized space via step='decode'
+        want = model(torch.from_numpy(codes), step="decode").numpy()
+
+    import jax.numpy as jnp
+
+    got_norm = decode(params, spec, jnp.asarray(codes.astype(np.int32)))
+    got = np.asarray(got_norm) * np.asarray(params.data_std) + np.asarray(
+        params.data_mean
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("qinco1", [False, True])
+def test_encode_parity_with_reference(qinco1):
+    from qinco_tpu.models.spec import QincoSpec
+    from qinco_tpu.models.qinco import encode_raw, decode_raw
+
+    D, K, M, L, de, dh = 16, 16, 3, 2, 12, 20
+    A, B = (0, 1) if qinco1 else (4, 3)
+    model, cfg = _make_ref_model(D, K, M, L, de, dh, A, B, qinco1)
+    spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=A, B=B, qinco1_mode=qinco1)
+    params, _ = _convert(model, spec)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, D)).astype(np.float32) * 1.5
+
+    with torch.no_grad():
+        want_codes = model(torch.from_numpy(x), step="encode").numpy()
+
+    import jax.numpy as jnp
+
+    got_codes = np.asarray(encode_raw(params, spec, jnp.asarray(x)))
+    frac = (got_codes == want_codes).mean()
+    assert frac >= 0.97, f"code agreement {frac}\n{got_codes}\n{want_codes}"
+
+    # Reconstruction parity is what actually matters under fp tie-breaks
+    with torch.no_grad():
+        want_rec = model(torch.from_numpy(want_codes), step="decode").numpy()
+    got_rec = np.asarray(decode_raw(params, spec, jnp.asarray(got_codes)))
+    want_mse = float(((want_rec - x) ** 2).mean())
+    got_mse = float(((got_rec - x) ** 2).mean())
+    assert got_mse <= want_mse * 1.01, (got_mse, want_mse)
