@@ -25,7 +25,10 @@ def main():
     from qinco_tpu.models import init_params
     from qinco_tpu.models.spec import QincoSpec
 
-    spec = QincoSpec(D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32)
+    spec = QincoSpec(
+        D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
+        fast=True, compute_dtype="bfloat16",
+    )
     params = init_params(jax.random.PRNGKey(0), spec)
 
     batch = 4096

@@ -1,0 +1,251 @@
+// qinco-tpu native IVF index: packed inverted lists + AQ-LUT shortlist scan.
+//
+// Replaces the faiss C++ machinery the reference delegates to
+// (reference: qinco/search/search_utils.py:121-163 pack_codes/invlists,
+// search_tasks.py:419-424 search_and_return_codes): per-list packed
+// uint8 code storage with int8-quantized reconstruction norms, and an
+// OpenMP-parallel scan computing
+//
+//   d(q, y) = ||q - c_list||^2 + sum_m LUT[m][code_m] + ||r||^2
+//
+// where LUT[m][k] = -2 (q - c_list) . C_m[k] is computed by the caller
+// (on TPU, batched over queries x probed lists) and ||r||^2 is the
+// stored quantized norm.  The coarse quantizer is NOT here: top-nprobe
+// list selection is a batched matmul that belongs on the TPU.
+//
+// Build: make -C native  (produces libqinco_ivf.so; ctypes binding in
+// qinco_tpu/search/index.py)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct InvList {
+  std::vector<int64_t> ids;
+  std::vector<uint8_t> codes;  // n * M bytes
+  std::vector<uint8_t> norms;  // n bytes (quantized ||r||^2)
+};
+
+struct IvfIndex {
+  int nlist = 0;
+  int M = 0;     // codes per entry (1 byte each)
+  int K = 256;   // codewords per step (LUT stride, <= 256)
+  int D = 0;     // vector dim (metadata only)
+  float norm_min = 0.f;
+  float norm_scale = 1.f;  // norm = norm_min + q * norm_scale
+  std::vector<InvList> lists;
+  int64_t ntotal = 0;
+};
+
+inline float decode_norm(const IvfIndex* idx, uint8_t q) {
+  return idx->norm_min + q * idx->norm_scale;
+}
+
+struct HeapEntry {
+  float dist;
+  int64_t id;
+  int list_no;
+  const uint8_t* code;
+};
+
+struct HeapCmp {
+  bool operator()(const HeapEntry& a, const HeapEntry& b) const {
+    return a.dist < b.dist;  // max-heap on dist: top() = worst kept
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+IvfIndex* qivf_new(int nlist, int M, int K, int D) {
+  auto* idx = new IvfIndex();
+  idx->nlist = nlist;
+  idx->M = M;
+  idx->K = K;
+  idx->D = D;
+  idx->lists.resize(nlist);
+  return idx;
+}
+
+void qivf_free(IvfIndex* idx) { delete idx; }
+
+int qivf_nlist(const IvfIndex* idx) { return idx->nlist; }
+int qivf_code_m(const IvfIndex* idx) { return idx->M; }
+int qivf_code_k(const IvfIndex* idx) { return idx->K; }
+int qivf_dim(const IvfIndex* idx) { return idx->D; }
+int64_t qivf_ntotal(const IvfIndex* idx) { return idx->ntotal; }
+int64_t qivf_list_size(const IvfIndex* idx, int list_no) {
+  return (int64_t)idx->lists[list_no].ids.size();
+}
+
+void qivf_set_norm_quant(IvfIndex* idx, float norm_min, float norm_scale) {
+  idx->norm_min = norm_min;
+  idx->norm_scale = norm_scale;
+}
+
+// Train the int8 norm quantizer from a sample of norms (min/max range).
+void qivf_train_norm(IvfIndex* idx, const float* norms, int64_t n) {
+  float lo = norms[0], hi = norms[0];
+  for (int64_t i = 1; i < n; i++) {
+    lo = std::min(lo, norms[i]);
+    hi = std::max(hi, norms[i]);
+  }
+  idx->norm_min = lo;
+  idx->norm_scale = (hi > lo) ? (hi - lo) / 255.f : 1.f;
+}
+
+// Add n entries to one inverted list. codes: (n, M) uint8; norms: (n,) f32.
+void qivf_add_entries(IvfIndex* idx, int list_no, int64_t n,
+                      const int64_t* ids, const uint8_t* codes,
+                      const float* norms) {
+  InvList& lst = idx->lists[list_no];
+  size_t old = lst.ids.size();
+  lst.ids.insert(lst.ids.end(), ids, ids + n);
+  lst.codes.insert(lst.codes.end(), codes, codes + n * idx->M);
+  lst.norms.resize(old + n);
+  for (int64_t i = 0; i < n; i++) {
+    float q = (norms[i] - idx->norm_min) / idx->norm_scale;
+    q = std::max(0.f, std::min(255.f, q));
+    lst.norms[old + i] = (uint8_t)(q + 0.5f);
+  }
+  idx->ntotal += n;
+}
+
+// Scan probed lists for nq queries; keep the nshort best per query.
+//   probe_lists: (nq, nprobe) int32 (-1 = skip)
+//   luts:        (nq, nprobe, M, K) f32
+//   bias:        (nq, nprobe) f32  = ||q - c_list||^2
+//   out_ids:     (nq, nshort) int64 (-1 padded)
+//   out_codes:   (nq, nshort, M+1) int32 [ivf_code, code_0..code_{M-1}]
+//   out_dists:   (nq, nshort) f32 (+inf padded)
+void qivf_search(const IvfIndex* idx, int64_t nq, const int* probe_lists,
+                 const float* luts, const float* bias, int nprobe, int nshort,
+                 int64_t* out_ids, int* out_codes, float* out_dists,
+                 int nthreads) {
+  const int M = idx->M;
+  const int K = idx->K;
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int64_t q = 0; q < nq; q++) {
+    std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+    for (int p = 0; p < nprobe; p++) {
+      int list_no = probe_lists[q * nprobe + p];
+      if (list_no < 0 || list_no >= idx->nlist) continue;
+      const InvList& lst = idx->lists[list_no];
+      const float* lut = luts + ((q * nprobe + p) * (int64_t)M) * K;
+      const float b = bias[q * nprobe + p];
+      const size_t n = lst.ids.size();
+      const uint8_t* codes = lst.codes.data();
+      for (size_t i = 0; i < n; i++) {
+        const uint8_t* c = codes + i * M;
+        float d = b + decode_norm(idx, lst.norms[i]);
+        for (int m = 0; m < M; m++) d += lut[m * K + c[m]];
+        if ((int)heap.size() < nshort) {
+          heap.push({d, lst.ids[i], list_no, c});
+        } else if (d < heap.top().dist) {
+          heap.pop();
+          heap.push({d, lst.ids[i], list_no, c});
+        }
+      }
+    }
+    // Drain heap (worst first) into sorted-ascending output.
+    int n_found = (int)heap.size();
+    for (int r = n_found - 1; r >= 0; r--) {
+      const HeapEntry& e = heap.top();
+      out_ids[q * nshort + r] = e.id;
+      out_dists[q * nshort + r] = e.dist;
+      int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+      oc[0] = e.list_no;
+      for (int m = 0; m < M; m++) oc[m + 1] = e.code[m];
+      heap.pop();
+    }
+    for (int r = n_found; r < nshort; r++) {
+      out_ids[q * nshort + r] = -1;
+      out_dists[q * nshort + r] = HUGE_VALF;
+      int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+      for (int m = 0; m <= M; m++) oc[m] = 0;
+    }
+  }
+}
+
+// ---- serialization -------------------------------------------------------
+
+static const uint32_t QIVF_MAGIC = 0x51495646;  // "QIVF"
+
+int qivf_save(const IvfIndex* idx, const char* path) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  uint32_t magic = QIVF_MAGIC, version = 2;
+  fwrite(&magic, 4, 1, f);
+  fwrite(&version, 4, 1, f);
+  fwrite(&idx->nlist, 4, 1, f);
+  fwrite(&idx->M, 4, 1, f);
+  fwrite(&idx->K, 4, 1, f);
+  fwrite(&idx->D, 4, 1, f);
+  fwrite(&idx->norm_min, 4, 1, f);
+  fwrite(&idx->norm_scale, 4, 1, f);
+  fwrite(&idx->ntotal, 8, 1, f);
+  for (const auto& lst : idx->lists) {
+    int64_t n = (int64_t)lst.ids.size();
+    fwrite(&n, 8, 1, f);
+    if (n) {
+      fwrite(lst.ids.data(), 8, n, f);
+      fwrite(lst.codes.data(), 1, n * idx->M, f);
+      fwrite(lst.norms.data(), 1, n, f);
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+IvfIndex* qivf_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  uint32_t magic = 0, version = 0;
+  if (fread(&magic, 4, 1, f) != 1 || magic != QIVF_MAGIC) {
+    fclose(f);
+    return nullptr;
+  }
+  if (fread(&version, 4, 1, f) != 1) { fclose(f); return nullptr; }
+  auto* idx = new IvfIndex();
+  bool ok = fread(&idx->nlist, 4, 1, f) == 1 && fread(&idx->M, 4, 1, f) == 1 &&
+            fread(&idx->K, 4, 1, f) == 1 &&
+            fread(&idx->D, 4, 1, f) == 1 &&
+            fread(&idx->norm_min, 4, 1, f) == 1 &&
+            fread(&idx->norm_scale, 4, 1, f) == 1 &&
+            fread(&idx->ntotal, 8, 1, f) == 1;
+  if (!ok) { delete idx; fclose(f); return nullptr; }
+  idx->lists.resize(idx->nlist);
+  for (auto& lst : idx->lists) {
+    int64_t n = 0;
+    if (fread(&n, 8, 1, f) != 1) { delete idx; fclose(f); return nullptr; }
+    lst.ids.resize(n);
+    lst.codes.resize(n * idx->M);
+    lst.norms.resize(n);
+    if (n) {
+      ok = fread(lst.ids.data(), 8, n, f) == (size_t)n &&
+           fread(lst.codes.data(), 1, n * idx->M, f) == (size_t)(n * idx->M) &&
+           fread(lst.norms.data(), 1, n, f) == (size_t)n;
+      if (!ok) { delete idx; fclose(f); return nullptr; }
+    }
+  }
+  fclose(f);
+  return idx;
+}
+
+}  // extern "C"

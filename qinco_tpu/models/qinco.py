@@ -154,8 +154,23 @@ def _beam_step(
     if spec.has_substep():
         # Substep pre-selection: top n_codes fixed-codebook candidates for
         # the residual (reference: qinco_base.py:114-121).
-        top_idx, _ = sqdist_topk(x_f - xh, p.sub_codebook, n_codes)  # (NF, n)
-        cand = p.codebook[top_idx]  # (NF, n, D)
+        sub_d = pairwise_sqdist_partial(x_f - xh, p.sub_codebook)  # (NF, K)
+        if spec.fast:
+            _, top_idx = jax.lax.approx_max_k(-sub_d, n_codes)
+        else:
+            top_idx, _ = topk_smallest(sub_d, n_codes)  # (NF, n)
+        if spec.fast:
+            # One-hot matmul rides the MXU; the gather unit is ~2x slower
+            # for this (NF, A, D) materialization on TPU.
+            oh = jax.nn.one_hot(top_idx, spec.K, dtype=jnp.bfloat16)
+            cand = jnp.einsum(
+                "nak,kd->nad",
+                oh,
+                p.codebook.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            cand = p.codebook[top_idx]  # (NF, n, D)
         A_eff = n_codes
     else:
         A_eff = spec.K

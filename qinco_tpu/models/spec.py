@@ -24,6 +24,12 @@ class QincoSpec:
     ivf_K: int = 0  # IVF codebook size; 0 = no IVF step
     qinco1_mode: bool = False
     compute_dtype: str = "float32"  # matmul activation dtype for the MLP
+    # Fast-encode profile: candidate codewords materialized via one-hot
+    # matmuls on the MXU instead of gathers, substep pre-selection via the
+    # TPU-native approximate top-k, and default-precision (bf16-input)
+    # distance matmuls.  Changes code selection only near floating-point
+    # ties; reconstruction-MSE impact is validated in tests/bench.
+    fast: bool = False
 
     # ---- derived sizes ---------------------------------------------------
     @property

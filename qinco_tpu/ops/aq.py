@@ -1,0 +1,89 @@
+"""Fixed additive-quantizer (AQ) codebook fitting.
+
+Least-squares estimate of fixed codebooks C_m[k] minimizing
+``‖x - Σ_m C_m[code_m]‖²`` given fixed codes — used by the index build to
+approximate QINCo decodes with pure table lookups (reference:
+qinco/search/search_utils.py:81-115, which materializes an (nt, M·k)
+one-hot design matrix and calls LAPACK lstsq).
+
+TPU-first: never materialize the design matrix.  The normal equations
+need only
+- ``GᵀG``: the (M·k, M·k) code co-occurrence counts — M² blocks of (k, k)
+  one-hot matmuls on the MXU, and
+- ``Gᵀx``: per-(step, code) sums of x — segment-sums.
+The small (M·k, M·k) system is then solved with a pinv (minimum-norm, the
+same solution family lstsq returns for the rank-deficient one-hot
+system).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cooccurrence_and_sums(codes: jnp.ndarray, x: jnp.ndarray, k: int):
+    """codes (nt, M) int32, x (nt, D) -> (GtG (Mk, Mk), Gtx (Mk, D))."""
+    nt, M = codes.shape
+    onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (nt, M, k)
+
+    # GtG blocks: (M, k, M, k) via one matmul over the sample axis.
+    flat = onehot.reshape(nt, M * k)
+    gtg = jax.lax.dot_general(
+        flat,
+        flat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gtx = jax.lax.dot_general(
+        flat,
+        x,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return gtg, gtx
+
+
+def compute_fixed_aq_codebooks(
+    xt: np.ndarray, train_codes: np.ndarray, k: int, *, batch: int = 262144,
+    ridge: float = 1e-6
+) -> np.ndarray:
+    """Estimate fixed codebooks (M, k, D) from (codes, vectors)
+    (reference: search_utils.py:92-102)."""
+    xt = np.asarray(xt, np.float32)
+    train_codes = np.asarray(train_codes)
+    nt, M = train_codes.shape
+    assert len(xt) == nt
+
+    gtg = np.zeros((M * k, M * k), np.float64)
+    gtx = np.zeros((M * k, xt.shape[1]), np.float64)
+    for i in range(0, nt, batch):
+        g, s = _cooccurrence_and_sums(
+            jnp.asarray(train_codes[i : i + batch], jnp.int32),
+            jnp.asarray(xt[i : i + batch]),
+            k,
+        )
+        gtg += np.asarray(g, np.float64)
+        gtx += np.asarray(s, np.float64)
+
+    # Minimum-norm solution of the (rank-deficient) normal equations.
+    # A small ridge keeps the pinv stable for unused codes.
+    gtg += np.eye(M * k) * ridge * max(gtg.max(), 1.0)
+    sol = np.linalg.solve(gtg, gtx)
+    return sol.reshape(M, k, -1).astype(np.float32)
+
+
+def reconstruct_from_codebooks(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Additive reconstruction Σ_m C_m[code_m]
+    (reference: search_utils.py:105-115)."""
+    codes = np.asarray(codes)
+    M = codes.shape[1]
+    assert codebooks.shape[0] == M
+    out = codebooks[0][codes[:, 0]].copy()
+    for m in range(1, M):
+        out += codebooks[m][codes[:, m]]
+    return out

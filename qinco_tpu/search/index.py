@@ -1,0 +1,282 @@
+"""ctypes binding for the native IVF index (native/ivf_index.cpp).
+
+The division of labor is TPU-first (SURVEY.md §7): the C++ side owns the
+memory-bound inverted-list scan and storage; the *coarse quantizer*
+(top-nprobe over the 2^20-centroid codebook) and the per-(query, list)
+LUT construction are batched matmuls that run on the TPU (see
+:func:`coarse_probe` / :func:`build_luts`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libqinco_ivf.so"
+
+
+def _ensure_lib() -> ctypes.CDLL:
+    if not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    c = ctypes
+    lib.qivf_new.restype = c.c_void_p
+    lib.qivf_new.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int]
+    lib.qivf_free.argtypes = [c.c_void_p]
+    for fn in ("qivf_nlist", "qivf_code_m", "qivf_code_k", "qivf_dim"):
+        getattr(lib, fn).restype = c.c_int
+        getattr(lib, fn).argtypes = [c.c_void_p]
+    lib.qivf_ntotal.restype = c.c_int64
+    lib.qivf_ntotal.argtypes = [c.c_void_p]
+    lib.qivf_list_size.restype = c.c_int64
+    lib.qivf_list_size.argtypes = [c.c_void_p, c.c_int]
+    lib.qivf_set_norm_quant.argtypes = [c.c_void_p, c.c_float, c.c_float]
+    lib.qivf_train_norm.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_int64]
+    lib.qivf_add_entries.argtypes = [
+        c.c_void_p, c.c_int, c.c_int64,
+        c.POINTER(c.c_int64), c.POINTER(c.c_uint8), c.POINTER(c.c_float),
+    ]
+    lib.qivf_search.argtypes = [
+        c.c_void_p, c.c_int64,
+        c.POINTER(c.c_int), c.POINTER(c.c_float), c.POINTER(c.c_float),
+        c.c_int, c.c_int,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
+        c.c_int,
+    ]
+    lib.qivf_save.restype = c.c_int
+    lib.qivf_save.argtypes = [c.c_void_p, c.c_char_p]
+    lib.qivf_load.restype = c.c_void_p
+    lib.qivf_load.argtypes = [c.c_char_p]
+    return lib
+
+
+@functools.lru_cache(maxsize=1)
+def get_lib() -> ctypes.CDLL:
+    return _ensure_lib()
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class IvfIndex:
+    """Native packed-inverted-list index with AQ codebooks.
+
+    Python-side state: the IVF centroids (for coarse probing on TPU) and
+    the AQ codebooks (for LUT construction); native-side: the lists.
+    """
+
+    def __init__(self, handle, ivf_centroids: np.ndarray, codebooks: np.ndarray):
+        self._lib = get_lib()
+        self._h = ctypes.c_void_p(handle)
+        self.ivf_centroids = np.ascontiguousarray(ivf_centroids, np.float32)
+        self.codebooks = np.ascontiguousarray(codebooks, np.float32)  # (M,K,D)
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def build(cls, ivf_centroids: np.ndarray, codebooks: np.ndarray) -> "IvfIndex":
+        lib = get_lib()
+        nlist, D = ivf_centroids.shape
+        M, K, D2 = codebooks.shape
+        assert D2 == D and K <= 256, f"codebooks {codebooks.shape} vs D={D}"
+        h = lib.qivf_new(nlist, M, K, D)
+        return cls(h, ivf_centroids, codebooks)
+
+    def __del__(self):
+        try:
+            self._lib.qivf_free(self._h)
+        except Exception:
+            pass
+
+    @property
+    def nlist(self) -> int:
+        return self._lib.qivf_nlist(self._h)
+
+    @property
+    def M(self) -> int:
+        return self._lib.qivf_code_m(self._h)
+
+    @property
+    def K(self) -> int:
+        return self._lib.qivf_code_k(self._h)
+
+    @property
+    def ntotal(self) -> int:
+        return self._lib.qivf_ntotal(self._h)
+
+    def list_size(self, list_no: int) -> int:
+        return self._lib.qivf_list_size(self._h, list_no)
+
+    def train_norm(self, norms: np.ndarray) -> None:
+        norms = np.ascontiguousarray(norms, np.float32)
+        self._lib.qivf_train_norm(self._h, _ptr(norms, ctypes.c_float), len(norms))
+
+    def add_entries(self, list_no: int, ids, codes, norms) -> None:
+        """codes: (n, M) uint8-able; norms: (n,) reconstruction sq-norms."""
+        ids = np.ascontiguousarray(ids, np.int64)
+        codes = np.ascontiguousarray(codes, np.uint8)
+        norms = np.ascontiguousarray(norms, np.float32)
+        n = len(ids)
+        assert codes.shape == (n, self.M)
+        self._lib.qivf_add_entries(
+            self._h, list_no, n,
+            _ptr(ids, ctypes.c_int64), _ptr(codes, ctypes.c_uint8),
+            _ptr(norms, ctypes.c_float),
+        )
+
+    def add_batch(self, ids, list_nos, codes, norms) -> None:
+        """Group a batch by list and append (reference: add_to_ivfaq_index,
+        search_utils.py:121-163 — argsort by list + per-list add)."""
+        list_nos = np.asarray(list_nos)
+        order = np.argsort(list_nos, kind="stable")
+        sorted_lists = list_nos[order]
+        bounds = np.flatnonzero(np.diff(sorted_lists)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(order)]])
+        ids = np.asarray(ids)
+        codes = np.asarray(codes)
+        norms = np.asarray(norms)
+        for s, e in zip(starts, ends):
+            sel = order[s:e]
+            self.add_entries(int(sorted_lists[s]), ids[sel], codes[sel], norms[sel])
+
+    # -- search -------------------------------------------------------------
+    def scan(
+        self,
+        probe_lists: np.ndarray,  # (nq, nprobe) int32
+        luts: np.ndarray,  # (nq, nprobe, M, K) f32
+        bias: np.ndarray,  # (nq, nprobe) f32
+        nshort: int,
+        nthreads: int = 0,
+    ):
+        nq, nprobe = probe_lists.shape
+        probe_lists = np.ascontiguousarray(probe_lists, np.int32)
+        luts = np.ascontiguousarray(luts, np.float32)
+        bias = np.ascontiguousarray(bias, np.float32)
+        out_ids = np.empty((nq, nshort), np.int64)
+        out_codes = np.empty((nq, nshort, self.M + 1), np.int32)
+        out_dists = np.empty((nq, nshort), np.float32)
+        self._lib.qivf_search(
+            self._h, nq,
+            _ptr(probe_lists, ctypes.c_int), _ptr(luts, ctypes.c_float),
+            _ptr(bias, ctypes.c_float), nprobe, nshort,
+            _ptr(out_ids, ctypes.c_int64), _ptr(out_codes, ctypes.c_int),
+            _ptr(out_dists, ctypes.c_float), nthreads,
+        )
+        return out_ids, out_codes, out_dists
+
+    def search_and_return_codes(
+        self, xq: np.ndarray, nshort: int, *, nprobe: int, nthreads: int = 0,
+        coarse_batch: int = 8192,
+    ):
+        """Full search: TPU coarse probe + LUTs, native scan
+        (reference contract: search_tasks.py:419-424)."""
+        xq = np.asarray(xq, np.float32)
+        out = []
+        for i in range(0, len(xq), coarse_batch):
+            chunk = xq[i : i + coarse_batch]
+            probes, bias = coarse_probe(chunk, self.ivf_centroids, nprobe)
+            luts = build_luts(chunk, self.ivf_centroids, self.codebooks, probes)
+            out.append(self.scan(probes, luts, bias, nshort, nthreads))
+        ids = np.concatenate([o[0] for o in out])
+        codes = np.concatenate([o[1] for o in out])
+        dists = np.concatenate([o[2] for o in out])
+        return dists, ids, codes
+
+    # -- serialization ------------------------------------------------------
+    def save(self, path: str) -> None:
+        rc = self._lib.qivf_save(self._h, str(path).encode())
+        assert rc == 0, f"failed to save index to {path}"
+        np.savez_compressed(
+            str(path) + ".meta.npz",
+            ivf_centroids=self.ivf_centroids,
+            codebooks=self.codebooks,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        lib = get_lib()
+        h = lib.qivf_load(str(path).encode())
+        assert h, f"failed to load index from {path}"
+        meta = np.load(str(path) + ".meta.npz")
+        return cls(h, meta["ivf_centroids"], meta["codebooks"])
+
+
+# ---------------------------------------------------------------------------
+# TPU-side coarse probing + LUT construction
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "chunk"))
+def _coarse_probe_jit(xq, centroids, nprobe: int, chunk: int = 65536):
+    """Top-nprobe nearest centroids with exact distances, K-chunked."""
+    from ..ops.distances import pairwise_sqdist
+
+    K = centroids.shape[0]
+    chunk = min(chunk, K)
+    n_chunks = -(-K // chunk)
+    pad = n_chunks * chunk - K
+    cent = jnp.pad(centroids, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    books = cent.reshape(n_chunks, chunk, -1)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        i_chunk, book = xs
+        d = pairwise_sqdist(xq, book)  # (nq, chunk) exact: bias needs values
+        nq_ = xq.shape[0]
+        cand_d = jnp.concatenate([best_d, d], axis=1)
+        chunk_ids = jnp.broadcast_to(
+            jnp.arange(chunk, dtype=jnp.int32)[None, :] + i_chunk * chunk,
+            (nq_, chunk),
+        )
+        cand_i = jnp.concatenate([best_i, chunk_ids], axis=1)
+        neg, sel = jax.lax.top_k(-cand_d, nprobe)
+        return (-neg, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    nq = xq.shape[0]
+    init = (
+        jnp.full((nq, nprobe), jnp.inf, jnp.float32),
+        jnp.zeros((nq, nprobe), jnp.int32),
+    )
+    (dists, idx), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks, dtype=jnp.int32), books)
+    )
+    return idx, dists
+
+
+def coarse_probe(xq: np.ndarray, centroids: np.ndarray, nprobe: int):
+    """-> (probe_lists (nq, nprobe) int32, bias ||q-c||^2 (nq, nprobe))."""
+    idx, dists = _coarse_probe_jit(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(centroids, jnp.float32), nprobe
+    )
+    return np.asarray(idx), np.asarray(dists)
+
+
+@jax.jit
+def _build_luts_jit(xq, centroids, codebooks, probes):
+    """LUT[m][k] = -2 (q - c_probe) . C_m[k] -> (nq, nprobe, M, 256)."""
+    c = centroids[probes]  # (nq, nprobe, D)
+    resid = xq[:, None, :] - c  # (nq, nprobe, D)
+    # (nq, nprobe, D) x (M, 256, D) -> (nq, nprobe, M, 256)
+    return -2.0 * jnp.einsum(
+        "qpd,mkd->qpmk", resid, codebooks, preferred_element_type=jnp.float32
+    )
+
+
+def build_luts(xq, centroids, codebooks, probes):
+    return np.asarray(
+        _build_luts_jit(
+            jnp.asarray(xq, jnp.float32),
+            jnp.asarray(centroids, jnp.float32),
+            jnp.asarray(codebooks, jnp.float32),
+            jnp.asarray(probes),
+        )
+    )

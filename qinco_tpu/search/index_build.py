@@ -1,0 +1,100 @@
+"""Index construction: AQ training phase + add phase.
+
+Reference: build_index_training_phase / build_index_adding_phase
+(qinco/search/search_tasks.py:154-268).  The faiss
+``IVF{K}_HNSW32,RQ{M}x8_Nqint8`` factory is replaced by the native
+packed-list index (native/ivf_index.cpp) + TPU coarse probing; the AQ
+codebooks come from :mod:`qinco_tpu.ops.aq` instead of LAPACK lstsq.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..metrics import corrected_mse
+from ..ops.aq import compute_fixed_aq_codebooks, reconstruct_from_codebooks
+from ..utils import Timer
+from .index import IvfIndex
+
+ADD_BATCH = 1_000_000  # reference: search_tasks.py:245
+
+
+def build_index_training_phase(
+    cfg, ivf_centroids: np.ndarray, vec_data: np.ndarray,
+    encoded_data: np.ndarray, log=print,
+) -> IvfIndex:
+    """Fit AQ codebooks on IVF residuals and assemble an empty index."""
+    timer = Timer()
+    K = cfg.K
+    with timer:
+        assert vec_data.dtype == np.float32
+        max_nt = min(len(vec_data), cfg.search.aq_training_samples)
+        log(f"[{timer}] Computing residuals on {max_nt}/{len(vec_data)} rows")
+        xt_residuals = vec_data - ivf_centroids[encoded_data[:, 0]]
+
+        log(f"[{timer}] Training fixed AQ codebooks")
+        codebooks = compute_fixed_aq_codebooks(
+            xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K
+        )
+        log(f"[{timer}] Codebooks {codebooks.shape}")
+
+        xt_recons = reconstruct_from_codebooks(encoded_data[:, 1:], codebooks)
+        mse = corrected_mse(xt_recons, xt_residuals, cfg.mse_scale)
+        log(f"[{timer}] AQ train MSE: {mse:g}")
+
+        index = IvfIndex.build(ivf_centroids, codebooks)
+        # Norm quantizer trained on reconstruction norms
+        # (reference: search_tasks.py:195,219 + add-phase norms :258).
+        norms = (xt_recons**2).sum(-1)
+        index.train_norm(norms)
+        log(f"[{timer}] Index ready (nlist={index.nlist}, M={index.M})")
+    return index
+
+
+def build_index_adding_phase(cfg, encoded_db, index: IvfIndex, log=print) -> None:
+    """Pack pre-computed codes into the inverted lists
+    (reference: search_tasks.py:228-268)."""
+    timer = Timer()
+    with timer:
+        codebooks = index.codebooks
+        for batch in encoded_db.iter(ADD_BATCH):
+            assert batch.shape[1] == index.M + 1
+            recons = reconstruct_from_codebooks(batch[:, 1:], codebooks)
+            norms = (recons**2).sum(-1)
+            ids = np.arange(
+                encoded_db.batch_start_id, encoded_db.batch_end_id, dtype=np.int64
+            )
+            log(
+                f"[{timer}] Adding rows {encoded_db.batch_start_id}:"
+                f"{encoded_db.batch_end_id}"
+            )
+            index.add_batch(ids, batch[:, 0], batch[:, 1:], norms)
+    log(f"Adding done in {timer}; ntotal={index.ntotal}")
+
+
+def run_build_index(task):
+    """BuildIndexTask driver (reference: search_tasks.py:700-732)."""
+    cfg = task.cfg
+    assert cfg.ivf_centroids, "Specify 'ivf_centroids'"
+    assert cfg.encoded_db, "Specify 'encoded_db'"
+    assert cfg.encoded_trainset, "Specify 'encoded_trainset'"
+    assert cfg.output and str(cfg.output).endswith(".qivf"), (
+        "Specify a .qivf output path for the index"
+    )
+    from ..data.datasets import load_vec_trainset
+    from ..tasks.search_tasks import EncodedDBIterator
+
+    (train_vecs, _), _ = load_vec_trainset(cfg)
+    train_codes = EncodedDBIterator(cfg, cfg.encoded_trainset).load_all()
+    n = min(len(train_vecs), len(train_codes), cfg.ds.trainset or len(train_vecs))
+    encoded_db = EncodedDBIterator(cfg, cfg.encoded_db)
+    ivf_centroids = task.ivf_centroids.astype(np.float32)
+
+    index = build_index_training_phase(
+        cfg, ivf_centroids, np.asarray(train_vecs[:n], np.float32),
+        train_codes[:n], log=task.print,
+    )
+    build_index_adding_phase(cfg, encoded_db, index, log=task.print)
+    task.print(f"Saving index to {cfg.output}")
+    index.save(cfg.output)
+    return index

@@ -1,0 +1,243 @@
+"""Search drivers: flat (1M, no index) and large-scale IVF search.
+
+Reference: run_search_full_direct_small_db (search_tasks.py:551-603) and
+run_search_ivf — the Figure-3 pipeline (search_tasks.py:307-543):
+coarse shortlist -> optional pairwise-decoder mid-rerank -> QINCo decode
+-> exact rerank -> recall@{1,10,100}, over a Pareto-pruned operating-point
+grid with JSON resume.
+
+Query-side distance math runs on TPU (batched matmuls); the
+inverted-list scan is the native C++ library.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import compute_recalls
+from ..models.qinco import decode_raw
+from ..ops.distances import batch_sqdist_partial, pairwise_sqdist_partial
+from ..utils import Timer, TimersManager
+from .operating_points import OperatingPoints
+from .optim_order import sort_experiments_by_prior
+
+
+# ---------------------------------------------------------------------------
+# Flat search over a small (~1M) database
+# ---------------------------------------------------------------------------
+
+
+def run_search_flat(task):
+    cfg = task.cfg
+    params, spec = task.params, task.spec
+    log = task.print
+    timer = Timer()
+
+    with timer:
+        log(f"[{timer}] Encoding database")
+        from ..models.qinco import encode_chunked
+
+        codes = encode_chunked(params, spec, task.db, batch=cfg.batch)
+        decoded = []
+        bs = cfg.search.batch_size
+        for i in range(0, codes.shape[1], bs):
+            decoded.append(
+                np.asarray(decode_raw(params, spec, jnp.asarray(codes[:, i : i + bs])))
+            )
+        db_dec = jnp.asarray(np.concatenate(decoded))
+        log(f"[{timer}] Encoding done ({db_dec.shape})")
+
+        log(f"[{timer}] Computing top query answers")
+        xq = np.asarray(task.xq, np.float32)
+        nshort = 100
+        shortlists = []
+        qbs = min(100, cfg.batch)
+        for i in range(0, len(xq), qbs):
+            d = pairwise_sqdist_partial(jnp.asarray(xq[i : i + qbs]), db_dec)
+            _, idx = jax.lax.top_k(-d, nshort)
+            shortlists.append(np.asarray(idx))
+        I = np.concatenate(shortlists)
+
+        recalls = compute_recalls(I, np.asarray(task.xq_gt))
+        log(
+            f"R@1={recalls[1] * 100:.2f}    R@10={recalls[10] * 100:.2f}    "
+            f"R@100={recalls[100] * 100:.2f}"
+        )
+    return recalls
+
+
+# ---------------------------------------------------------------------------
+# Large-scale IVF search
+# ---------------------------------------------------------------------------
+
+
+def _decode_shortlist(params, spec, codes_int32: np.ndarray, batch_size: int):
+    """QINCo-decode (n, M+1) codes in fixed batches -> (n, D) raw space."""
+    n = len(codes_int32)
+    out = []
+    for i in range(0, n, batch_size):
+        chunk = codes_int32[i : i + batch_size]
+        n_valid = len(chunk)
+        if n_valid < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch_size - n_valid, chunk.shape[1]), np.int32)]
+            )
+        x = decode_raw(params, spec, jnp.asarray(chunk.T))
+        out.append(np.asarray(x)[:n_valid])
+    return np.concatenate(out)
+
+
+def run_search_ivf(task):
+    cfg = task.cfg
+    log = task.print
+    from .index import IvfIndex
+
+    index = IvfIndex.load(cfg.index)
+    params, spec = task.params, task.spec
+
+    mid_reranker = None
+    if cfg.pairwise_decoder:
+        from .pairwise_decoder import PairwiseDecoder
+
+        mid_reranker = PairwiseDecoder.load(cfg.pairwise_decoder)
+        log(f"Will use pairwise mid-reranker from {cfg.pairwise_decoder}")
+
+    xq = np.asarray(task.xq, np.float32)
+    gt = np.asarray(task.xq_gt)
+    nq, d = xq.shape
+    M = cfg.M
+
+    # JSON resume (reference: search_tasks.py:318-341).
+    seen_parameters, ivf_real_res = [], []
+    json_results = {"ivf_real_res": ivf_real_res}
+    if cfg.resume and cfg.output and Path(cfg.output).exists():
+        with open(cfg.output) as sf:
+            json_results = json.load(sf)
+        ivf_real_res = json_results["ivf_real_res"]
+        seen_parameters = [r["parameters"] for r in ivf_real_res]
+        log(f"Resuming: {len(seen_parameters)} experiments already measured")
+
+    op = OperatingPoints()
+    op.add_range("nprobe", sorted(cfg.search.nprobe))
+    if len(cfg.search.quantizer_efSearch) > 0:
+        # Exact TPU coarse probing has no efSearch; the axis is kept for
+        # grid compatibility and ignored by the quantizer.
+        op.add_range("quantizer_efSearch", sorted(cfg.search.quantizer_efSearch))
+    op.add_range("nshort", sorted(cfg.search.nshort))
+    nmid = sorted(cfg.search.nmid_short) if mid_reranker is not None else [0]
+    op.add_range("nmid_short", nmid)
+
+    experiments = sort_experiments_by_prior(op, op.all_keys())
+    log(f"Total experiments {op.num_experiments()}, running {len(experiments)}")
+
+    for i_exp, key in enumerate(experiments):
+        parameters = op.get_parameters(key)
+        log(f"-\nExperiment {i_exp + 1}/{len(experiments)} {key}")
+
+        if parameters in seen_parameters:
+            for result in ivf_real_res:
+                if result["key"] == list(key):
+                    op.add_operating_point(key, result["recalls"]["1"],
+                                           result["t_total"])
+                    break
+            log("Loaded from previous checkpoint")
+            continue
+        seen_parameters.append(parameters)
+
+        exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
+        nprobe = parameters["nprobe"]
+        nshort = parameters["nshort"]
+        nmid_short = parameters["nmid_short"] * nshort
+        n_short_ivf = min(max(nmid_short, nshort), 8000)
+
+        max_perf, min_time = op.predict_bounds(key)
+        if not op.is_pareto_optimal(max_perf, min_time):
+            log(f"SKIP, {max_perf=:.3f} {min_time=:.3f}")
+            continue
+
+        # Part 1: shortlist of codes from the index
+        # (native already returns int32 codes; no listno byte-unpacking
+        # needed, unlike faiss's packed invlists).
+        with exp_timers.search:
+            D_short, I, codes = index.search_and_return_codes(
+                xq, n_short_ivf, nprobe=nprobe,
+                nthreads=cfg.search.nthreads,
+            )
+        codes_int32 = codes.reshape(n_short_ivf * nq, M + 1)
+        codes_int32[:, 0] = np.clip(codes_int32[:, 0], 0, index.nlist - 1)
+
+        # Part 3: pairwise mid-rerank nmid -> nshort
+        if nshort < n_short_ivf and mid_reranker is not None:
+            with exp_timers.mid_rerank:
+                shortlist = mid_reranker.decode(
+                    codes_int32[:, 1:].T, codes_int32[:, 0]
+                )
+                shortlist = shortlist + index.ivf_centroids[codes_int32[:, 0]]
+                shortlist = shortlist.reshape(nq, n_short_ivf, d)
+                D_ref = np.asarray(
+                    batch_sqdist_partial(
+                        jnp.asarray(xq[:, None, :]), jnp.asarray(shortlist)
+                    )
+                ).reshape(nq, n_short_ivf)
+                idx = np.argsort(D_ref, axis=1)
+                codes_int32 = np.take_along_axis(
+                    codes_int32.reshape(nq, n_short_ivf, M + 1),
+                    idx[:, :nshort, None],
+                    axis=1,
+                ).reshape(nq * nshort, M + 1)
+                I = np.take_along_axis(I, idx[:, :nshort], axis=1)
+
+        # Part 4: QINCo decode of the shortlist
+        with exp_timers.decode:
+            shortlist = _decode_shortlist(
+                params, spec, codes_int32, cfg.search.batch_size
+            )
+
+        # Part 5: exact rerank, top-100
+        with exp_timers.rerank:
+            shortlist_t = shortlist.reshape(nq, -1, d)
+            D_ref = np.asarray(
+                batch_sqdist_partial(
+                    jnp.asarray(xq[:, None, :]), jnp.asarray(shortlist_t)
+                )
+            ).reshape(nq, -1)
+            idx = np.argsort(D_ref, axis=1)
+            I_refined = np.take_along_axis(I, idx[:, :100], axis=1)
+
+        recalls_orig = compute_recalls(I, gt)
+        recalls = compute_recalls(I_refined, gt)
+        total_time = exp_timers.sum().get()
+        log(
+            f"Achieved R@1={recalls[1] * 100:.2f} R@10={recalls[10] * 100:.2f} "
+            f"R@100={recalls[100] * 100:.2f} in {exp_timers.sum().s()}"
+        )
+        log(
+            f"Timers: search={exp_timers.search.s()} + "
+            f"mid_rerank={exp_timers.mid_rerank.s()} + "
+            f"decode={exp_timers.decode.s()} + rerank={exp_timers.rerank.s()}"
+        )
+        op.add_operating_point(key, recalls[1], total_time)
+
+        ivf_real_res.append(
+            dict(
+                parameters=parameters,
+                t_search=exp_timers.search.get(),
+                t_mid_rerank=exp_timers.mid_rerank.get(),
+                t_decode=exp_timers.decode.get(),
+                t_rerank=exp_timers.rerank.get(),
+                t_total=total_time,
+                recalls={str(k): v for k, v in recalls.items()},
+                recalls_orig={str(k): v for k, v in recalls_orig.items()},
+                key=list(map(int, key)),
+            )
+        )
+        if cfg.output:
+            with open(cfg.output, "w") as sf:
+                json.dump(json_results, sf)
+
+    return json_results

@@ -53,7 +53,15 @@ class BaseTask:
         # Checkpoint metadata re-hydrates hyperparameters
         # (reference: qinco/utils.py:140-179).
         self.ckpt_meta = None
-        if cfg.resume and cfg.output and Path(cfg.output).exists():
+        # Training resume re-points the model at the output checkpoint
+        # (reference: qinco_tasks.py:443-449); search resume instead replays
+        # its JSON results file (handled in search/search.py).
+        if (
+            cfg.resume
+            and cfg.task == "train"
+            and cfg.output
+            and Path(cfg.output).exists()
+        ):
             cfg.model = cfg.output
             self.print(f"Resuming from {cfg.output}")
         if cfg.model and Path(cfg.model).exists() and str(cfg.model).endswith(".npz"):

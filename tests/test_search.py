@@ -1,0 +1,206 @@
+"""Search-pipeline tests: AQ fit, native IVF index, pairwise decoder,
+operating points, end-to-end mini search."""
+
+import numpy as np
+import pytest
+
+from qinco_tpu.metrics import compute_recalls
+from qinco_tpu.ops.aq import compute_fixed_aq_codebooks, reconstruct_from_codebooks
+from qinco_tpu.search.operating_points import OperatingPoints
+from qinco_tpu.search.optim_order import sort_experiments_by_prior
+
+
+def test_aq_fit_recovers_true_codebooks():
+    """If data is exactly additive, the lstsq fit must reconstruct it."""
+    rng = np.random.default_rng(0)
+    M, k, D, n = 3, 8, 6, 5000
+    true_books = rng.normal(size=(M, k, D)).astype(np.float32)
+    codes = rng.integers(0, k, size=(n, M))
+    x = reconstruct_from_codebooks(codes, true_books)
+    books = compute_fixed_aq_codebooks(x, codes, k)
+    rec = reconstruct_from_codebooks(codes, books)
+    err = ((rec - x) ** 2).mean()
+    assert err < 1e-6, err
+
+
+def test_aq_fit_reduces_error_vs_means():
+    rng = np.random.default_rng(1)
+    M, k, D, n = 4, 16, 8, 8000
+    codes = rng.integers(0, k, size=(n, M))
+    x = rng.normal(size=(n, D)).astype(np.float32)
+    x += reconstruct_from_codebooks(codes, rng.normal(size=(M, k, D)).astype(np.float32))
+    books = compute_fixed_aq_codebooks(x, codes, k)
+    rec = reconstruct_from_codebooks(codes, books)
+    base = ((x - x.mean(0)) ** 2).mean()
+    assert ((rec - x) ** 2).mean() < base * 0.6
+
+
+# ---------------------------------------------------------------------------
+# native IVF index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_setup():
+    rng = np.random.default_rng(0)
+    nlist, D, M, K = 64, 16, 4, 256
+    centroids = rng.normal(size=(nlist, D)).astype(np.float32) * 4
+    books = rng.normal(size=(M, K, D)).astype(np.float32) * 0.5
+
+    n = 5000
+    list_nos = rng.integers(0, nlist, size=n)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.uint8)
+    recons = np.zeros((n, D), np.float32)
+    for m in range(M):
+        recons += books[m][codes[:, m]]
+    vectors = centroids[list_nos] + recons
+    return dict(
+        centroids=centroids, books=books, list_nos=list_nos, codes=codes,
+        vectors=vectors, recons=recons, nlist=nlist, D=D, M=M,
+    )
+
+
+def _build_index(s):
+    from qinco_tpu.search.index import IvfIndex
+
+    index = IvfIndex.build(s["centroids"], s["books"])
+    norms = (s["recons"] ** 2).sum(-1)
+    index.train_norm(norms)
+    ids = np.arange(len(s["vectors"]), dtype=np.int64)
+    index.add_batch(ids, s["list_nos"], s["codes"], norms)
+    return index
+
+
+def test_ivf_index_add_and_scan_exact_distance(ivf_setup):
+    s = ivf_setup
+    index = _build_index(s)
+    assert index.ntotal == len(s["vectors"])
+
+    rng = np.random.default_rng(1)
+    xq = (s["vectors"][:32] + 0.01 * rng.normal(size=(32, s["D"]))).astype(np.float32)
+    dists, ids, codes = index.search_and_return_codes(xq, 10, nprobe=s["nlist"])
+    # probing every list with exact LUT distances (+quantized norms) must
+    # find each query's own source vector first
+    assert (ids[:, 0] == np.arange(32)).mean() > 0.9
+    # returned codes must match what was stored
+    for q in range(32):
+        j = ids[q, 0]
+        if j < 0:
+            continue
+        assert codes[q, 0, 0] == s["list_nos"][j]
+        np.testing.assert_array_equal(codes[q, 0, 1:], s["codes"][j])
+    # distances approximate true squared distances (norm is int8-quantized)
+    true_d = ((xq[0] - s["vectors"][ids[0, :5]]) ** 2).sum(-1)
+    np.testing.assert_allclose(dists[0, :5], true_d, rtol=0.1, atol=2.0)
+
+
+def test_ivf_index_save_load_roundtrip(ivf_setup, tmp_path):
+    from qinco_tpu.search.index import IvfIndex
+
+    s = ivf_setup
+    index = _build_index(s)
+    path = tmp_path / "test.qivf"
+    index.save(path)
+    index2 = IvfIndex.load(path)
+    assert index2.ntotal == index.ntotal
+    assert index2.nlist == index.nlist
+
+    xq = s["vectors"][100:110]
+    d1, i1, c1 = index.search_and_return_codes(xq, 5, nprobe=8)
+    d2, i2, c2 = index2.search_and_return_codes(xq, 5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+def test_ivf_recall_improves_with_nprobe(ivf_setup):
+    s = ivf_setup
+    index = _build_index(s)
+    rng = np.random.default_rng(3)
+    xq = (s["vectors"][:200] + 0.05 * rng.normal(size=(200, s["D"]))).astype(
+        np.float32
+    )
+    gt = np.arange(200)[:, None]
+    recs = []
+    for nprobe in (1, 4, 16):
+        _, ids, _ = index.search_and_return_codes(xq, 10, nprobe=nprobe)
+        recs.append(compute_recalls(ids, gt)[10])
+    assert recs[0] <= recs[1] <= recs[2]
+    assert recs[2] > 0.9
+
+
+# ---------------------------------------------------------------------------
+# pairwise decoder
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_decoder_trains_and_roundtrips(tmp_path):
+    from qinco_tpu.search.pairwise_decoder import (
+        PairwiseDecoder,
+        train_pairwise_decoder,
+    )
+
+    rng = np.random.default_rng(0)
+    IVF_K, K_base, M_base, D, B = 128, 8, 3, 10, 4000
+    ivf_centroids = rng.normal(size=(IVF_K, D)).astype(np.float32) * 2
+    ivf_codes = rng.integers(0, IVF_K, size=B)
+    codes = rng.integers(0, K_base, size=(M_base, B))
+    # residual correlated with codes so the decoder can learn something
+    step_books = rng.normal(size=(M_base, K_base, D)).astype(np.float32)
+    resid = sum(step_books[m][codes[m]] for m in range(M_base))
+    resid += 0.05 * rng.normal(size=(B, D)).astype(np.float32)
+
+    dec = train_pairwise_decoder(
+        codes, ivf_codes, resid.astype(np.float32), ivf_centroids,
+        K_base=K_base, M_target=4, verbose=False,
+    )
+    rec = dec.decode(codes, ivf_codes)
+    mse = ((rec - resid) ** 2).sum(-1).mean()
+    base = (resid**2).sum(-1).mean()
+    assert mse < base * 0.3, (mse, base)
+
+    path = tmp_path / "pd.npz"
+    dec.save(path)
+    dec2 = PairwiseDecoder.load(path)
+    rec2 = dec2.decode(codes, ivf_codes)
+    np.testing.assert_allclose(rec, rec2, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# operating points
+# ---------------------------------------------------------------------------
+
+
+def test_operating_points_grid_and_pareto():
+    op = OperatingPoints()
+    op.add_range("nprobe", [1, 4, 16])
+    op.add_range("nshort", [10, 100])
+    assert op.num_experiments() == 6
+    keys = op.all_keys()
+    assert len(keys) == 6
+    assert op.get_parameters((2, 1)) == {"nprobe": 16, "nshort": 100}
+
+    op.add_operating_point((0, 0), 0.5, 1.0)
+    op.add_operating_point((2, 1), 0.9, 10.0)
+    # a point dominated by (0.5, 1.0) is not pareto-optimal
+    assert not op.is_pareto_optimal(0.4, 2.0)
+    assert op.is_pareto_optimal(0.7, 2.0)
+    # bounds: key (1,0) is >= (0,0) in all params -> time at least 1.0;
+    # <= (2,1) -> perf at most 0.9
+    max_perf, min_time = op.predict_bounds((1, 0))
+    assert max_perf <= 0.9 and min_time >= 1.0
+
+
+def test_experiment_ordering_prefers_balanced_settings():
+    op = OperatingPoints()
+    op.add_range("nprobe", [1, 1024])
+    op.add_range("quantizer_efSearch", [4, 2048])
+    op.add_range("nshort", [1, 64])
+    op.add_range("nmid_short", [1, 64])
+    keys = sort_experiments_by_prior(op, op.all_keys())
+    first = op.get_parameters(keys[0])
+    # a balanced small setting should be explored before the most
+    # pathological corner (nprobe=1024 with nshort=1)
+    last = op.get_parameters(keys[-1])
+    assert first["nmid_short"] <= 8
+    assert (last["nprobe"], last["nshort"]) in [(1024, 1), (1, 64), (1024, 64), (1, 1)]
