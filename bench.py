@@ -27,7 +27,7 @@ def main():
 
     spec = QincoSpec(
         D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
-        fast=True, compute_dtype="bfloat16",
+        fast=True, pallas=True, compute_dtype="bfloat16",
     )
     params = init_params(jax.random.PRNGKey(0), spec)
 

@@ -159,6 +159,10 @@ def _beam_step(
             _, top_idx = jax.lax.approx_max_k(-sub_d, n_codes)
         else:
             top_idx, _ = topk_smallest(sub_d, n_codes)  # (NF, n)
+        if spec.pallas:
+            return _beam_step_fused(
+                spec, p, x, xhat, hist, m, F_out, n_codes, top_idx
+            )
         if spec.fast:
             # One-hot matmul rides the MXU; the gather unit is ~2x slower
             # for this (NF, A, D) materialization on TPU.
@@ -200,6 +204,66 @@ def _beam_step(
     t_mean = jnp.mean(x_target, axis=(0, 1))
     t_std = jnp.std(x_target, axis=(0, 1), ddof=1)
     return xhat_next, hist, (t_mean, t_std)
+
+
+def _beam_step_fused(
+    spec: QincoSpec,
+    p: StepParams,
+    x: jnp.ndarray,  # (N, D)
+    xhat: jnp.ndarray,  # (N, F_in, D)
+    hist: jnp.ndarray,  # (M_ivf, N, F_in)
+    m,
+    F_out: int,
+    n_codes: int,
+    top_idx: jnp.ndarray,  # (NF, n_codes) substep pre-selection
+):
+    """Pallas-kernel beam step: score all F·A candidates on-chip, then
+    recompute reconstructions for only the F_out selected beams."""
+    from ..ops.pallas_kernels import candidate_scores_pallas
+
+    N, F_in, D = xhat.shape
+    NF = N * F_in
+    xh = xhat.reshape(NF, D)
+    x_f = jnp.broadcast_to(x[:, None, :], (N, F_in, D)).reshape(NF, D)
+    interpret = jax.default_backend() != "tpu"
+
+    dists_fa = candidate_scores_pallas(
+        spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w, p.concat_b,
+        p.ffn_up, p.ffn_down, p.out_proj,
+        row_tile=min(512, _round_up_pow2(NF)),
+        interpret=interpret,
+    )  # (NF, A) full squared distances
+
+    A_eff = n_codes
+    dists = dists_fa.reshape(N, F_in * A_eff)
+    sel, _ = topk_smallest(dists, F_out)  # (N, F_out)
+
+    f_in_idx = sel // A_eff
+    real = jnp.take_along_axis(top_idx.reshape(N, F_in * A_eff), sel, axis=1)
+
+    hist = jnp.take_along_axis(hist, f_in_idx[None], axis=2)
+    hist = hist.at[m].set(real.astype(jnp.int32))
+
+    # Recompute reconstructions for the selected beams only (F_out << F·A).
+    xh_sel = jnp.take_along_axis(xhat, f_in_idx[..., None], axis=1)  # (N,F_out,D)
+    cand_sel = p.codebook[real]  # (N, F_out, D)
+    NB = N * F_out
+    pred = step_predict(
+        spec, p, cand_sel.reshape(NB, 1, D), xh_sel.reshape(NB, D)
+    )  # (NB, 1, D)
+    xhat_next = (pred[:, 0] + xh_sel.reshape(NB, D)).reshape(N, F_out, D)
+
+    x_target = x[:, None, :] - xhat
+    t_mean = jnp.mean(x_target, axis=(0, 1))
+    t_std = jnp.std(x_target, axis=(0, 1), ddof=1)
+    return xhat_next, hist, (t_mean, t_std)
+
+
+def _round_up_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "ivf_chunk"))

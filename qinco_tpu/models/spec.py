@@ -30,6 +30,10 @@ class QincoSpec:
     # distance matmuls.  Changes code selection only near floating-point
     # ties; reconstruction-MSE impact is validated in tests/bench.
     fast: bool = False
+    # Fused Pallas candidate-scoring kernel (ops/pallas_kernels.py):
+    # computes per-candidate MLP distances fully on-chip and recomputes
+    # reconstructions only for the B selected beams.  Requires A > 0.
+    pallas: bool = False
 
     # ---- derived sizes ---------------------------------------------------
     @property
