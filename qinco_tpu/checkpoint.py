@@ -194,6 +194,7 @@ def params_from_torch_state(model_sd: dict, spec, params_template, mstate_templa
             else None
         ),
         concat_w=stack("steps.{m}.concat.mlp.weight", transpose=True),
+        concat_w2=None,  # reference QINCo2 checkpoints have no LR concat
         concat_b=stack("steps.{m}.concat.mlp.bias"),
         ffn_up=np.stack(
             [

@@ -36,7 +36,8 @@ class StepParams(NamedTuple):
 
     codebook: jnp.ndarray  # (K, D)
     sub_codebook: Optional[jnp.ndarray]  # (K, D) when A > 0
-    concat_w: jnp.ndarray  # (De + D, De)
+    concat_w: jnp.ndarray  # (De + D, De) — or (De + D, rank) when concat_rank
+    concat_w2: Optional[jnp.ndarray]  # (rank, De) low-rank concat (QINCo-LR)
     concat_b: jnp.ndarray  # (De,)
     ffn_up: jnp.ndarray  # (L, De, Dh)
     ffn_down: jnp.ndarray  # (L, Dh, De)
@@ -77,17 +78,27 @@ def _init_one_step(key, spec: QincoSpec) -> StepParams:
     ks = jax.random.split(key, 8)
     q1 = spec.qinco1_mode
 
+    rank = spec.concat_rank
+    concat_out = rank if rank else De
     if q1:
-        concat_w = _kaiming_uniform(ks[0], (De + D, De), De + D, TORCH_DEFAULT_GAIN)
+        concat_w = _kaiming_uniform(
+            ks[0], (De + D, concat_out), De + D, TORCH_DEFAULT_GAIN
+        )
         b_bound = 1.0 / np.sqrt(De + D)
         concat_b = jax.random.uniform(ks[1], (De,), jnp.float32, -b_bound, b_bound)
         ffn_up = _kaiming_uniform(ks[2], (L, De, Dh), De, TORCH_DEFAULT_GAIN)
         ffn_down = _kaiming_uniform(ks[3], (L, Dh, De), Dh, TORCH_DEFAULT_GAIN)
     else:
-        concat_w = jnp.zeros((De + D, De), jnp.float32)
+        concat_w = jnp.zeros((De + D, concat_out), jnp.float32)
         concat_b = jnp.zeros((De,), jnp.float32)
         ffn_up = _kaiming_uniform(ks[2], (L, De, Dh), De, RELU_GAIN)
         ffn_down = jnp.zeros((L, Dh, De), jnp.float32)
+    # QINCo-LR low-rank concat factor (reference: qinco_v1/model_qinco.py:164-177)
+    concat_w2 = (
+        _kaiming_uniform(ks[7], (rank, De), rank, TORCH_DEFAULT_GAIN)
+        if rank
+        else None
+    )
 
     if De != D:
         gain = TORCH_DEFAULT_GAIN if q1 else RELU_GAIN
@@ -104,6 +115,7 @@ def _init_one_step(key, spec: QincoSpec) -> StepParams:
         codebook=codebook,
         sub_codebook=sub_codebook,
         concat_w=concat_w,
+        concat_w2=concat_w2,
         concat_b=concat_b,
         ffn_up=ffn_up,
         ffn_down=ffn_down,

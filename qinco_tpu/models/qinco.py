@@ -74,10 +74,13 @@ def step_predict(
         h = h.astype(dt)
 
     cc = jnp.concatenate([h, cond_b], axis=-1)
-    cc = (
-        jnp.dot(cc, p.concat_w.astype(dt), preferred_element_type=jnp.float32)
-        + p.concat_b
-    )
+    cc = jnp.dot(cc, p.concat_w.astype(dt), preferred_element_type=jnp.float32)
+    if p.concat_w2 is not None:  # QINCo-LR low-rank factor
+        cc = jnp.dot(
+            cc.astype(dt), p.concat_w2.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+    cc = cc + p.concat_b
     h = h + cc.astype(dt)
 
     for l in range(spec.L):
@@ -228,8 +231,8 @@ def _beam_step_fused(
     interpret = jax.default_backend() != "tpu"
 
     dists_fa = candidate_scores_pallas(
-        spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w, p.concat_b,
-        p.ffn_up, p.ffn_down, p.out_proj,
+        spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w,
+        p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,
         row_tile=min(512, _round_up_pow2(NF)),
         interpret=interpret,
     )  # (NF, A) full squared distances

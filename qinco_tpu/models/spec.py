@@ -23,6 +23,9 @@ class QincoSpec:
     B: int = 32  # beam width (1 = greedy)
     ivf_K: int = 0  # IVF codebook size; 0 = no IVF step
     qinco1_mode: bool = False
+    # QINCo-LR: low-rank factorized concat MLP for large D
+    # (reference: qinco_v1/model_qinco.py:164-177)
+    concat_rank: int | None = None
     compute_dtype: str = "float32"  # matmul activation dtype for the MLP
     # Fast-encode profile: candidate codewords materialized via one-hot
     # matmuls on the MXU instead of gathers, substep pre-selection via the

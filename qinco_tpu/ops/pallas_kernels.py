@@ -37,7 +37,8 @@ def _cand_scores_kernel(
     idx_ref,  # (R, A) int32 candidate codebook ids
     codebook_ref,  # (K, D)
     in_proj_ref,  # (D, De) or None
-    concat_w_ref,  # (De + D, De)
+    concat_w_ref,  # (De + D, De) or (De + D, rank)
+    concat_w2_ref,  # (rank, De) or None
     concat_b_ref,  # (1, De)
     ffn_up_ref,  # (L, De, Dh)
     ffn_down_ref,  # (L, Dh, De)
@@ -70,10 +71,15 @@ def _cand_scores_kernel(
         ).astype(dt)
 
     cc = jnp.concatenate([h, cond.astype(dt)], axis=-1)
-    cc = (
-        jnp.dot(cc, concat_w_ref[:].astype(dt), preferred_element_type=jnp.float32)
-        + concat_b_ref[0, :]
+    cc = jnp.dot(
+        cc, concat_w_ref[:].astype(dt), preferred_element_type=jnp.float32
     )
+    if concat_w2_ref is not None:  # QINCo-LR low-rank factor
+        cc = jnp.dot(
+            cc.astype(dt), concat_w2_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+    cc = cc + concat_b_ref[0, :]
     h = h + cc.astype(dt)
 
     for l in range(spec.L):
@@ -114,6 +120,7 @@ def candidate_scores_pallas(
     codebook: jnp.ndarray,  # (K, D)
     in_proj,  # (D, De) | None
     concat_w,
+    concat_w2,  # (rank, De) | None (QINCo-LR)
     concat_b,  # (De,)
     ffn_up,  # (L, De, Dh)
     ffn_down,
@@ -131,8 +138,6 @@ def candidate_scores_pallas(
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
     n_tiles = (NF + pad) // row_tile
 
-    kernel = functools.partial(_cand_scores_kernel, spec)
-
     def row_spec(width):
         return pl.BlockSpec(
             (row_tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -141,7 +146,7 @@ def candidate_scores_pallas(
     full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                                   memory_space=pltpu.VMEM)
 
-    operands = [x, xh, idx, codebook, in_proj, concat_w,
+    operands = [x, xh, idx, codebook, in_proj, concat_w, concat_w2,
                 concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
     in_specs = [
         row_spec(D),
@@ -150,6 +155,7 @@ def candidate_scores_pallas(
         full(codebook),
         None if in_proj is None else full(in_proj),
         full(concat_w),
+        None if concat_w2 is None else full(concat_w2),
         full(concat_b.reshape(1, -1)),
         full(ffn_up),
         full(ffn_down),
@@ -160,6 +166,7 @@ def candidate_scores_pallas(
     live_ops = [o for o, _ in live]
     live_specs = [s for _, s in live]
     has_in = in_proj is not None
+    has_w2 = concat_w2 is not None
     has_out = out_proj is not None
 
     def kernel_dispatch(*refs):
@@ -170,13 +177,14 @@ def candidate_scores_pallas(
         cb_r = next(it)
         ip_r = next(it) if has_in else None
         cw_r = next(it)
+        cw2_r = next(it) if has_w2 else None
         cb2_r = next(it)
         fu_r = next(it)
         fd_r = next(it)
         op_r = next(it) if has_out else None
         _cand_scores_kernel(
-            spec, x_r, xh_r, idx_r, cb_r, ip_r, cw_r, cb2_r, fu_r, fd_r, op_r,
-            refs[-1],
+            spec, x_r, xh_r, idx_r, cb_r, ip_r, cw_r, cw2_r, cb2_r, fu_r,
+            fd_r, op_r, refs[-1],
         )
 
     dists = pl.pallas_call(

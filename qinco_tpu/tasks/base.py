@@ -64,7 +64,12 @@ class BaseTask:
         ):
             cfg.model = cfg.output
             self.print(f"Resuming from {cfg.output}")
-        if cfg.model and Path(cfg.model).exists() and str(cfg.model).endswith(".npz"):
+        if (
+            cfg.model
+            and Path(cfg.model).exists()
+            and str(cfg.model).endswith(".npz")
+            and not str(cfg.model).endswith(".pqnpz")
+        ):
             meta = load_checkpoint_meta(cfg.model)
             self.ckpt_meta = meta
             for arg, val in meta.get("parameters", {}).items():
@@ -201,7 +206,7 @@ class BaseTask:
 
 
 def get_task(name: str):
-    from . import train_task, eval_task, convert_task, search_tasks
+    from . import train_task, eval_task, convert_task, search_tasks, pq_task
 
     registry = {
         "train": train_task.TrainTask,
@@ -214,6 +219,8 @@ def get_task(name: str):
         "build_index": search_tasks.BuildIndexTask,
         "train_pairwise_decoder": search_tasks.TrainPairwiseDecoderTask,
         "search": search_tasks.SearchTask,
+        "train_pq": pq_task.PQTrainTask,
+        "eval_pq": pq_task.PQEvalTask,
     }
     if name not in registry:
         raise ValueError(f"Unknown task {name!r}; available: {sorted(registry)}")
