@@ -111,4 +111,6 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         ivf_K=int(cfg.ivf_K) if (cfg.ivf_in_use and cfg.ivf_K) else 0,
         qinco1_mode=bool(cfg.qinco1_mode),
         compute_dtype=str(cfg.get("compute_dtype", "float32")),
+        fast=bool(cfg.get("fast_encode", False)),
+        pallas=bool(cfg.get("pallas", False)),
     )

@@ -26,13 +26,27 @@ class EvalTask(BaseTask):
     def run(self):
         cfg = self.cfg
         timing = cfg.task == "eval_time"
-        mse = compute_mse(
-            self.params,
-            self.spec,
-            self.test_loader,
-            mesh=self.mesh,
-            mse_scale=cfg.mse_scale,
-            timing=timing,
-        )
+        profile_dir = cfg.get("profile_dir")
+
+        def _run():
+            return compute_mse(
+                self.params,
+                self.spec,
+                self.test_loader,
+                mesh=self.mesh,
+                mse_scale=cfg.mse_scale,
+                timing=timing,
+            )
+
+        if timing and profile_dir:
+            # jax.profiler trace replaces the reference's wall-clock-only
+            # instrumentation (SURVEY.md §5.1)
+            import jax
+
+            with jax.profiler.trace(str(profile_dir)):
+                mse = _run()
+            self.print(f"Wrote profiler trace to {profile_dir}")
+        else:
+            mse = _run()
         self.print(f"Test metrics: [[MSE={mse:g}]]")
         return mse

@@ -21,6 +21,9 @@ def main(argv=None):
     if any(a in ("-h", "--help") for a in argv):
         print(__doc__)
         return 0
+    from qinco_tpu.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed()
     cfg = load_config(argv)
     if cfg.task is None:
         raise SystemExit(
