@@ -55,6 +55,20 @@ def _ensure_lib() -> ctypes.CDLL:
     lib.qivf_save.argtypes = [c.c_void_p, c.c_char_p]
     lib.qivf_load.restype = c.c_void_p
     lib.qivf_load.argtypes = [c.c_char_p]
+    # HNSW coarse quantizer (native/hnsw.cpp)
+    lib.qhnsw_build.restype = c.c_void_p
+    lib.qhnsw_build.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_uint64,
+    ]
+    lib.qhnsw_free.argtypes = [c.c_void_p]
+    lib.qhnsw_search.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int,
+        c.POINTER(c.c_int), c.POINTER(c.c_float), c.c_int,
+    ]
+    lib.qhnsw_save.restype = c.c_int
+    lib.qhnsw_save.argtypes = [c.c_void_p, c.c_char_p]
+    lib.qhnsw_load.restype = c.c_void_p
+    lib.qhnsw_load.argtypes = [c.c_char_p]
     return lib
 
 
@@ -67,11 +81,64 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+class HnswQuantizer:
+    """Native HNSW coarse quantizer over the IVF centroids
+    (parity surface for faiss's HNSW32; reference sets
+    efConstruction=20, search_tasks.py:199-205)."""
+
+    def __init__(self, handle):
+        self._lib = get_lib()
+        self._h = ctypes.c_void_p(handle)
+
+    @classmethod
+    def build(cls, centroids: np.ndarray, *, M: int = 32,
+              ef_construction: int = 20, seed: int = 0) -> "HnswQuantizer":
+        lib = get_lib()
+        cent = np.ascontiguousarray(centroids, np.float32)
+        n, d = cent.shape
+        h = lib.qhnsw_build(
+            _ptr(cent, ctypes.c_float), n, d, M, ef_construction, seed
+        )
+        return cls(h)
+
+    def __del__(self):
+        try:
+            self._lib.qhnsw_free(self._h)
+        except Exception:
+            pass
+
+    def search(self, xq: np.ndarray, k: int, *, ef: int = 16,
+               nthreads: int = 0):
+        """-> (indices (nq, k) int32, sq distances (nq, k))."""
+        xq = np.ascontiguousarray(xq, np.float32)
+        nq = len(xq)
+        out_idx = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.float32)
+        self._lib.qhnsw_search(
+            self._h, _ptr(xq, ctypes.c_float), nq, k, ef,
+            _ptr(out_idx, ctypes.c_int), _ptr(out_d, ctypes.c_float), nthreads,
+        )
+        return out_idx, out_d
+
+    def save(self, path: str) -> None:
+        rc = self._lib.qhnsw_save(self._h, str(path).encode())
+        assert rc == 0, f"failed to save HNSW to {path}"
+
+    @classmethod
+    def load(cls, path: str) -> "HnswQuantizer":
+        lib = get_lib()
+        h = lib.qhnsw_load(str(path).encode())
+        assert h, f"failed to load HNSW from {path}"
+        return cls(h)
+
+
 class IvfIndex:
     """Native packed-inverted-list index with AQ codebooks.
 
     Python-side state: the IVF centroids (for coarse probing on TPU) and
     the AQ codebooks (for LUT construction); native-side: the lists.
+    The coarse quantizer is the exact TPU top-nprobe scan by default;
+    ``use_hnsw()`` switches to the native HNSW graph (efSearch knob).
     """
 
     def __init__(self, handle, ivf_centroids: np.ndarray, codebooks: np.ndarray):
@@ -79,6 +146,16 @@ class IvfIndex:
         self._h = ctypes.c_void_p(handle)
         self.ivf_centroids = np.ascontiguousarray(ivf_centroids, np.float32)
         self.codebooks = np.ascontiguousarray(codebooks, np.float32)  # (M,K,D)
+        self.hnsw: HnswQuantizer | None = None
+        self.ef_search = 16
+
+    def use_hnsw(self, *, M: int = 32, ef_construction: int = 20,
+                 ef_search: int = 16, seed: int = 0) -> None:
+        """Build (or rebuild) the native HNSW coarse quantizer."""
+        self.hnsw = HnswQuantizer.build(
+            self.ivf_centroids, M=M, ef_construction=ef_construction, seed=seed
+        )
+        self.ef_search = ef_search
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -183,7 +260,13 @@ class IvfIndex:
         out = []
         for i in range(0, len(xq), coarse_batch):
             chunk = xq[i : i + coarse_batch]
-            probes, bias = coarse_probe(chunk, self.ivf_centroids, nprobe)
+            if self.hnsw is not None:
+                probes, bias = self.hnsw.search(
+                    chunk, nprobe, ef=max(self.ef_search, nprobe),
+                    nthreads=nthreads,
+                )
+            else:
+                probes, bias = coarse_probe(chunk, self.ivf_centroids, nprobe)
             luts = build_luts(chunk, self.ivf_centroids, self.codebooks, probes)
             out.append(self.scan(probes, luts, bias, nshort, nthreads))
         ids = np.concatenate([o[0] for o in out])

@@ -99,6 +99,9 @@ def run_search_ivf(task):
 
     index = IvfIndex.load(cfg.index)
     params, spec = task.params, task.spec
+    if str(cfg.search.get("coarse", "tpu")) == "hnsw":
+        log("Building native HNSW coarse quantizer (efConstruction=20)")
+        index.use_hnsw()
 
     mid_reranker = None
     if cfg.pairwise_decoder:
@@ -125,8 +128,8 @@ def run_search_ivf(task):
     op = OperatingPoints()
     op.add_range("nprobe", sorted(cfg.search.nprobe))
     if len(cfg.search.quantizer_efSearch) > 0:
-        # Exact TPU coarse probing has no efSearch; the axis is kept for
-        # grid compatibility and ignored by the quantizer.
+        # efSearch drives the HNSW quantizer; with the exact TPU coarse
+        # scan the axis is kept for grid compatibility but has no effect.
         op.add_range("quantizer_efSearch", sorted(cfg.search.quantizer_efSearch))
     op.add_range("nshort", sorted(cfg.search.nshort))
     nmid = sorted(cfg.search.nmid_short) if mid_reranker is not None else [0]
@@ -151,6 +154,8 @@ def run_search_ivf(task):
 
         exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
         nprobe = parameters["nprobe"]
+        if index.hnsw is not None and "quantizer_efSearch" in parameters:
+            index.ef_search = parameters["quantizer_efSearch"]
         nshort = parameters["nshort"]
         nmid_short = parameters["nmid_short"] * nshort
         n_short_ivf = min(max(nmid_short, nshort), 8000)

@@ -204,3 +204,60 @@ def test_experiment_ordering_prefers_balanced_settings():
     last = op.get_parameters(keys[-1])
     assert first["nmid_short"] <= 8
     assert (last["nprobe"], last["nshort"]) in [(1024, 1), (1, 64), (1024, 64), (1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# native HNSW coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_recall_vs_exact():
+    from qinco_tpu.search.index import HnswQuantizer
+
+    rng = np.random.default_rng(0)
+    n, D = 2000, 16
+    cent = rng.normal(size=(n, D)).astype(np.float32)
+    q = rng.normal(size=(100, D)).astype(np.float32)
+    hnsw = HnswQuantizer.build(cent, M=16, ef_construction=40)
+
+    idx, dists = hnsw.search(q, 10, ef=64)
+    true = np.argsort(((q[:, None] - cent[None]) ** 2).sum(-1), axis=1)[:, :10]
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, true)])
+    assert recall > 0.8, recall
+    # distances must be true squared L2 of the returned ids
+    d_true = ((q[0] - cent[idx[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d_true, rtol=1e-4)
+
+    # higher ef -> higher (or equal) recall
+    idx_lo, _ = hnsw.search(q, 10, ef=10)
+    recall_lo = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx_lo, true)])
+    assert recall >= recall_lo - 0.05
+
+
+def test_hnsw_save_load(tmp_path):
+    from qinco_tpu.search.index import HnswQuantizer
+
+    rng = np.random.default_rng(1)
+    cent = rng.normal(size=(500, 8)).astype(np.float32)
+    h1 = HnswQuantizer.build(cent, M=8, ef_construction=20)
+    path = tmp_path / "g.qhnsw"
+    h1.save(path)
+    h2 = HnswQuantizer.load(path)
+    q = rng.normal(size=(20, 8)).astype(np.float32)
+    i1, d1 = h1.search(q, 5, ef=32)
+    i2, d2 = h2.search(q, 5, ef=32)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_ivf_index_with_hnsw_coarse(ivf_setup):
+    s = ivf_setup
+    index = _build_index(s)
+    index.use_hnsw(M=16, ef_construction=40, ef_search=64)
+    rng = np.random.default_rng(7)
+    xq = (s["vectors"][:100] + 0.01 * rng.normal(size=(100, s["D"]))).astype(
+        np.float32
+    )
+    _, ids, _ = index.search_and_return_codes(xq, 10, nprobe=8)
+    gt = np.arange(100)[:, None]
+    rec = compute_recalls(ids, gt)[10]
+    assert rec > 0.8, rec
