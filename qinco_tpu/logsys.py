@@ -10,7 +10,6 @@ requiring torch's SummaryWriter.
 from __future__ import annotations
 
 import json
-import sys
 import time
 from collections import deque
 from pathlib import Path

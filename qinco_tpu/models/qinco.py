@@ -38,7 +38,7 @@ from ..ops.distances import (
     sqdist_topk,
     topk_smallest,
 )
-from .params import ModelState, QincoParams, StepParams
+from .params import QincoParams, StepParams
 from .spec import QincoSpec
 
 

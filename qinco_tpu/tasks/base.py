@@ -20,9 +20,8 @@ from ..checkpoint import (
     load_checkpoint_meta,
     save_checkpoint,
 )
-from ..data.datasets import load_vec_db, load_vec_trainset
 from ..models.params import init_model_state, init_params, set_codebooks_from_rq
-from ..models.spec import QincoSpec, spec_from_cfg
+from ..models.spec import spec_from_cfg
 from ..parallel.mesh import make_mesh
 
 

@@ -13,7 +13,6 @@ import numpy as np
 
 from ..checkpoint import load_torch_checkpoint, params_from_torch_state
 from ..models.params import init_model_state, init_params
-from ..models.spec import QincoSpec
 from .base import BaseTask
 
 import jax

@@ -18,8 +18,8 @@ import numpy as np
 from ..config import load_config
 from ..data.datasets import load_vec_trainset, load_queries_data, load_vec_db
 from ..metrics import compute_recalls, corrected_mse
-from ..models.pq_qinco import PQQincoParams, pq_decode, pq_encode, stack_part_params
-from ..models.spec import QincoSpec, spec_from_cfg
+from ..models.pq_qinco import PQQincoParams, pq_encode, stack_part_params
+from ..models.spec import QincoSpec
 from ..ops.opq import train_opq
 from .base import BaseTask
 

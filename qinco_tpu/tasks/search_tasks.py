@@ -6,15 +6,11 @@ Reference: qinco/search/search_tasks.py.
 
 from __future__ import annotations
 
-import json
-import math
-from pathlib import Path
 
-import jax
 import numpy as np
 
 from ..data.datasets import load_queries_data, load_vec_db, load_vec_trainset
-from ..models.qinco import decode_raw, encode_chunked
+from ..models.qinco import encode_chunked
 from ..ops.kmeans import kmeans
 from ..utils import TimersManager
 from .base import BaseTask

@@ -9,7 +9,6 @@ mesh.  Static batch shapes + padding weights replace the reference's
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

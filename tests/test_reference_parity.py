@@ -137,3 +137,60 @@ def test_encode_parity_with_reference(qinco1):
     want_mse = float(((want_rec - x) ** 2).mean())
     got_mse = float(((got_rec - x) ** 2).mean())
     assert got_mse <= want_mse * 1.01, (got_mse, want_mse)
+
+
+def test_convert_task_cli_roundtrip(tmp_path):
+    """Full convert surface: reference torch checkpoint (with the
+    reference's own save layout) -> convert task -> eval produces the
+    same reconstructions."""
+    import run_qinco
+    import jax.numpy as jnp
+
+    from qinco_tpu.models.spec import QincoSpec
+    from qinco_tpu.models.qinco import decode_raw
+    from qinco_tpu.checkpoint import load_checkpoint
+    from qinco_tpu.models.params import init_model_state, init_params
+    import jax
+
+    D, K, M, L, de, dh, A, B = 12, 16, 3, 2, 10, 14, 4, 3
+    model, cfg_ref = _make_ref_model(D, K, M, L, de, dh, A, B, qinco1=False)
+
+    # reference checkpoint layout (qinco/utils.py:100-137)
+    pt_path = tmp_path / "ref.pt"
+    torch.save(
+        {
+            "epoch": 42,
+            "model": model.state_dict(),
+            "optimizer": None,
+            "scheduler": None,
+            "logger": None,
+            "parameters": {
+                "K": K, "M": M, "de": de, "dh": dh, "L": L, "A": A, "B": B,
+                "ivf_in_use": False, "qinco1_mode": False,
+            },
+            "data_dim": D,
+        },
+        str(pt_path),
+    )
+
+    out = tmp_path / "converted.npz"
+    rc = run_qinco.main(
+        ["task=convert", f"model={pt_path}", f"output={out}", "verbose=false"]
+    )
+    assert rc == 0 or rc is None
+    assert out.exists()
+
+    spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=A, B=B)
+    restored = load_checkpoint(
+        out,
+        params_template=init_params(jax.random.PRNGKey(0), spec),
+        mstate_template=init_model_state(spec),
+    )
+    assert restored["meta"]["epoch"] == 42
+    params = restored["params"]
+
+    codes = np.random.default_rng(0).integers(0, K, size=(M, 8)).astype(np.int32)
+    got = np.asarray(decode_raw(params, spec, jnp.asarray(codes)))
+    with torch.no_grad():
+        want = model(torch.from_numpy(codes.astype(np.int64)), step="decode").numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
