@@ -5,6 +5,10 @@ from .distances import (
     sqdist_topk,
     topk_smallest,
 )
+from .kmeans import kmeans
+from .rq import rq_decode, rq_encode, train_rq
+from .aq import compute_fixed_aq_codebooks, reconstruct_from_codebooks
+from .opq import train_opq
 
 __all__ = [
     "pairwise_sqdist",
@@ -12,4 +16,11 @@ __all__ = [
     "topk_smallest",
     "sqdist_topk",
     "chunked_argmin",
+    "kmeans",
+    "train_rq",
+    "rq_encode",
+    "rq_decode",
+    "compute_fixed_aq_codebooks",
+    "reconstruct_from_codebooks",
+    "train_opq",
 ]

@@ -78,12 +78,15 @@ def kmeans(
         key, k0 = jax.random.split(key)
         centroids = jax.random.uniform(k0, (K, D), jnp.float32) * std + mean
 
+    # keep the data resident on device across iterations
+    x_dev = jnp.asarray(x) if N <= batch else None
+
     for it in range(iters):
         key, kf = jax.random.split(key)
         if N <= batch:
-            codes = assign_codes(jnp.asarray(x), centroids, chunk=chunk)
+            codes = assign_codes(x_dev, centroids, chunk=chunk)
             centroids, counts = _update_centroids(
-                jnp.asarray(x), codes, K, kf, mean, std
+                x_dev, codes, K, kf, mean, std
             )
         else:
             sums = np.zeros((K, D), np.float64)

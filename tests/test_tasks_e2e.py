@@ -140,3 +140,51 @@ def test_encode_task_part_files(tiny_data, tmp_path):
     allc = it.load_all()
     np.testing.assert_array_equal(allc, codes)
     assert cfg.K == 16 and cfg.M == 2
+
+
+def test_eval_time_cli(tiny_data, tmp_path):
+    """eval_time surface: reports per-vector timings and writes a
+    profiler trace."""
+    path, x = tiny_data
+    model = tmp_path / "mt.npz"
+    run_cli(
+        [
+            "task=train", f"trainset={path}", f"output={model}",
+            "M=2", "K=16", "L=1", "de=8", "dh=16", "A=4", "B=2",
+            "batch=256", "ds.valset=256", "epochs=1",
+            "scheduler.stop_patience=0", "verbose=false",
+        ]
+    )
+    trace_dir = tmp_path / "trace"
+    rc = run_cli(
+        [
+            "task=eval_time", f"db={path}", f"model={model}",
+            f"profile_dir={trace_dir}",
+            "batch=256", "ds.db=512", "verbose=false",
+        ]
+    )
+    assert rc == 0 or rc is None
+    assert trace_dir.exists() and any(trace_dir.rglob("*"))
+
+
+def test_logger_early_stop_on_patience(tiny_data, tmp_path):
+    from qinco_tpu.config import load_config
+    from qinco_tpu.logsys import MetricLogger
+
+    cfg = load_config(["scheduler.stop_patience=2", "task=train", "epochs=100"])
+    melog = MetricLogger(cfg, is_main=False)
+    melog.cur_epoch = 0
+    melog.best_mse = 1.0
+    melog.best_mse_epoch = 0
+    for epoch in range(1, 10):
+        melog.cur_epoch = epoch
+        if melog.should_stop():
+            break
+    assert epoch == 3  # 0 best + patience 2 -> stops at epoch 3
+
+    # state roundtrip
+    state = melog.state_dict()
+    melog2 = MetricLogger(cfg, is_main=False)
+    melog2.load_state_dict(state)
+    assert melog2.best_mse == melog.best_mse
+    assert melog2.best_mse_epoch == melog.best_mse_epoch
