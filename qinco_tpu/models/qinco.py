@@ -230,10 +230,13 @@ def _beam_step_fused(
     x_f = jnp.broadcast_to(x[:, None, :], (N, F_in, D)).reshape(NF, D)
     interpret = jax.default_backend() != "tpu"
 
+    # VMEM budget: the kernel's activations scale with row_tile * n_codes
+    # (the fused MLP runs on R*A rows); keep R*A <= 8192.
+    row_tile = max(8, min(512, 8192 // n_codes, _round_up_pow2(NF)))
     dists_fa = candidate_scores_pallas(
         spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w,
         p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,
-        row_tile=min(512, _round_up_pow2(NF)),
+        row_tile=row_tile,
         interpret=interpret,
     )  # (NF, A) full squared distances
 
