@@ -182,13 +182,22 @@ class MetricLogger:
         if self.verbose and self.is_main:
             print(flush=True)
 
-    def end_epoch(self, val_mse: float, usage_rows=None) -> bool:
-        """Returns True if this epoch is the new best (checkpoint saved)."""
-        mean_loss = self.sum_loss / max(self.epoch_n_samples, 1)
-        mean_all = {
-            k: v / max(self.epoch_n_samples, 1) for k, v in self.sum_all_losses.items()
-        }
-        losses_str = " ; ".join(f"{k}={v:g}" for k, v in mean_all.items())
+    def end_epoch(self, val_mse: float, usage_rows=None, *,
+                  mean_loss: float | None = None,
+                  mean_all: dict | None = None) -> bool:
+        """Returns True if this epoch is the new best (checkpoint saved).
+
+        ``mean_loss`` / ``mean_all`` override the internally accumulated
+        sums — the train loop passes exact device-accumulated means so
+        per-batch host syncs can be skipped."""
+        if mean_loss is None:
+            mean_loss = self.sum_loss / max(self.epoch_n_samples, 1)
+        if mean_all is None:
+            mean_all = {
+                k: v / max(self.epoch_n_samples, 1)
+                for k, v in self.sum_all_losses.items()
+            }
+        losses_str = " ; ".join(f"{k}={v:g}" for k, v in sorted(mean_all.items()))
 
         is_best = val_mse < self.best_mse - self.EPS
         if is_best:

@@ -231,8 +231,9 @@ def _beam_step_fused(
     interpret = jax.default_backend() != "tpu"
 
     # VMEM budget: the kernel's activations scale with row_tile * n_codes
-    # (the fused MLP runs on R*A rows); keep R*A <= 8192.
-    row_tile = max(8, min(512, 8192 // n_codes, _round_up_pow2(NF)))
+    # (the fused MLP runs on R*A rows); keep R*A <= 4096 — 8192 was
+    # observed to overflow the 16MB scoped-vmem limit by a hair.
+    row_tile = max(8, min(512, 4096 // n_codes, _round_up_pow2(NF)))
     dists_fa = candidate_scores_pallas(
         spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w,
         p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,

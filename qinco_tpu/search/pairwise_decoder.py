@@ -147,14 +147,28 @@ class PairwiseDecoder:
             M_base=int(z["M_base"]),
         )
 
-    def decode(self, codes_MB: np.ndarray, ivf_codes: np.ndarray) -> np.ndarray:
-        """Residual reconstruction past the IVF centroid
-        (reference: forward + map_codes, :88-93,126-130)."""
-        return np.asarray(
-            pairwise_decode(
+    def _device_tables(self):
+        # The K^2-entry books are hundreds of MB; transfer them once and
+        # keep them resident instead of re-uploading per decode call.
+        cached = getattr(self, "_dev", None)
+        if cached is None:
+            cached = (
                 jnp.asarray(self.books),
                 jnp.asarray(self.pairs),
                 jnp.asarray(self.ivf_code_map),
+            )
+            object.__setattr__(self, "_dev", cached)
+        return cached
+
+    def decode(self, codes_MB: np.ndarray, ivf_codes: np.ndarray) -> np.ndarray:
+        """Residual reconstruction past the IVF centroid
+        (reference: forward + map_codes, :88-93,126-130)."""
+        books, pairs, code_map = self._device_tables()
+        return np.asarray(
+            pairwise_decode(
+                books,
+                pairs,
+                code_map,
                 jnp.asarray(codes_MB, jnp.int32),
                 jnp.asarray(ivf_codes, jnp.int32),
                 self.K_base,

@@ -157,6 +157,13 @@ class TrainTask(BaseTask):
             melog.start_epoch(epoch, n_batches, lr)
             mstate = reset_usage(mstate)
 
+            # Losses accumulate on-device; the host syncs for display only
+            # every `log_every` batches (each sync costs a transport
+            # round-trip that would otherwise halve throughput).
+            log_every = max(1, int(cfg.get("log_every", 10) or 1))
+            sum_total = None
+            sum_each: dict = {}
+            n_seen = 0
             for i_batch, b in enumerate(self.train_loader.epoch(epoch)):
                 # Fractional cosine step per batch (reference:
                 # qinco_tasks.py:156-168).
@@ -169,9 +176,23 @@ class TrainTask(BaseTask):
                 params, opt_state, mstate, out = train_step(
                     params, opt_state, mstate, xb, wb
                 )
-                melog.step_batch(
-                    i_batch, b.n_valid, out.total_loss, out.losses, lr
+                nv = b.n_valid
+                n_seen += nv
+                sum_total = (
+                    out.total_loss * nv
+                    if sum_total is None
+                    else sum_total + out.total_loss * nv
                 )
+                for k, v in out.losses.items():
+                    sum_each[k] = (
+                        v * nv if k not in sum_each else sum_each[k] + v * nv
+                    )
+                if i_batch % log_every == 0 or i_batch == n_batches - 1:
+                    melog.step_batch(
+                        i_batch, nv, out.total_loss, out.losses, lr
+                    )
+                else:
+                    melog.cur_step += 1
             melog.end_train_phase()
 
             mse_val = compute_mse(
@@ -182,7 +203,14 @@ class TrainTask(BaseTask):
             usage_rows = [np.asarray(mstate.usage0)] + [
                 np.asarray(u) for u in mstate.usage
             ]
-            melog.end_epoch(mse_val, usage_rows=usage_rows)
+            melog.end_epoch(
+                mse_val,
+                usage_rows=usage_rows,
+                mean_loss=float(sum_total) / max(n_seen, 1),
+                mean_all={
+                    k: float(v) / max(n_seen, 1) for k, v in sum_each.items()
+                },
+            )
 
             # Dead-codeword reset (reference: qinco_base.py:505-522).
             if not spec.qinco1_mode:
