@@ -357,15 +357,29 @@ def encode_chunked(
     *,
     batch: int | None = None,
     enc_max_bs: int = 65536,
+    pipeline_depth: int = 4,
 ):
     """Host-side driver: encode any-length ``x`` in fixed-shape chunks
     (one compiled shape), zero-padding the tail.  Returns codes (M_ivf, N).
+
+    Dispatch is pipelined ``pipeline_depth`` chunks ahead so host<->device
+    transfers overlap device compute (synchronous per-chunk readback
+    serialized the billion-scale encode on remote transports).
     """
+    import collections
+
     import numpy as np
 
     n = len(x)
     bs = batch or default_encode_batch(spec, enc_max_bs)
     out = np.empty((spec.M_ivf, n), dtype=np.int32)
+
+    in_flight: collections.deque = collections.deque()
+
+    def drain_one():
+        i, n_valid, codes = in_flight.popleft()
+        out[:, i : i + n_valid] = np.asarray(codes)[:, :n_valid]
+
     for i in range(0, n, bs):
         chunk = np.asarray(x[i : i + bs], dtype=np.float32)
         n_valid = len(chunk)
@@ -374,7 +388,11 @@ def encode_chunked(
                 [chunk, np.zeros((bs - n_valid, chunk.shape[1]), np.float32)]
             )
         codes = encode_raw(params, spec, jnp.asarray(chunk))
-        out[:, i : i + n_valid] = np.asarray(codes)[:, :n_valid]
+        in_flight.append((i, n_valid, codes))
+        if len(in_flight) > pipeline_depth:
+            drain_one()
+    while in_flight:
+        drain_one()
     return out
 
 
