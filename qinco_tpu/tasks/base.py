@@ -105,6 +105,24 @@ class BaseTask:
             f"Devices: {len(jax.devices())} "
             f"({self.process_count} process(es)); mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
         )
+        self.log_device_memory()
+
+    def log_device_memory(self) -> None:
+        """Per-device HBM report (reference: log_mem_info,
+        qinco/utils.py:266-291)."""
+        if not self.is_main:
+            return
+        from ..utils import format_memory
+
+        for dev in jax.local_devices():
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            in_use = stats.get("bytes_in_use")
+            limit = stats.get("bytes_limit")
+            if limit:
+                self.print(
+                    f"Device {dev}: {format_memory(in_use or 0)} / "
+                    f"{format_memory(limit)} HBM in use"
+                )
 
     def print(self, *args) -> None:
         if getattr(self, "is_main", True):

@@ -10,10 +10,28 @@ Any config key accepts a dotted ``key=value`` override; ``model_args=``
 selects a preset from qinco_tpu/configs/model_args/.
 """
 
+import os
 import sys
 
-from qinco_tpu.config import load_config
-from qinco_tpu.tasks import get_task
+
+def _maybe_reexec_cpu(argv):
+    """cpu=true must take effect before any jax import; when a TPU PJRT
+    plugin was injected at interpreter start (sitecustomize), the only
+    reliable way is re-exec with a cleaned environment."""
+    if "cpu=true" not in argv or os.environ.get("_QINCO_CPU_REEXEC"):
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        return
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["_QINCO_CPU_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    raise SystemExit(
+        subprocess.call([sys.executable, sys.argv[0], *argv], env=env)
+    )
 
 
 def main(argv=None):
@@ -21,7 +39,10 @@ def main(argv=None):
     if any(a in ("-h", "--help") for a in argv):
         print(__doc__)
         return 0
+    _maybe_reexec_cpu(argv)
+    from qinco_tpu.config import load_config
     from qinco_tpu.parallel.distributed import maybe_init_distributed
+    from qinco_tpu.tasks import get_task
 
     maybe_init_distributed()
     cfg = load_config(argv)
