@@ -25,10 +25,33 @@ def main():
     from qinco_tpu.models import init_params
     from qinco_tpu.models.spec import QincoSpec
 
-    spec = QincoSpec(
-        D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
-        fast=True, pallas=True, compute_dtype="bfloat16",
-    )
+    profiles = [
+        dict(fast=True, pallas=True, compute_dtype="bfloat16"),
+        dict(fast=True, compute_dtype="bfloat16"),  # fallback: no Pallas
+        dict(),  # fallback: exact XLA path
+    ]
+    spec = None
+    for prof in profiles:
+        candidate = QincoSpec(
+            D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32, **prof
+        )
+        try:
+            from qinco_tpu.models.qinco import encode as _enc
+
+            p = init_params(jax.random.PRNGKey(0), candidate)
+            probe = jnp.zeros((256, candidate.D), jnp.float32)
+            float(_enc(p, candidate, probe)[0].sum())
+            spec = candidate
+            break
+        except Exception as e:  # compile/runtime failure: try next profile
+            import sys
+
+            print(
+                f"profile {prof} failed: {type(e).__name__}",
+                file=sys.stderr,
+                flush=True,
+            )
+    assert spec is not None, "no encode profile compiled"
     params = init_params(jax.random.PRNGKey(0), spec)
 
     batch = 4096
