@@ -284,9 +284,6 @@ def encode(
 
     Returns (codes (M_ivf, N) int32, xhat (N, D), EncodeStats).
     """
-    N, D = x.shape
-    Ms = spec.n_mlp_steps
-
     # ---- step 0: plain codebook assignment --------------------------------
     if spec.ivf_in_use:
         codes0, _ = chunked_argmin(x, params.codebook0, chunk=ivf_chunk)
@@ -294,6 +291,21 @@ def encode(
     else:
         codes0, _ = sqdist_topk(x, params.codebook0, spec.beam0)  # (N, beam0)
     xhat = params.codebook0[codes0].astype(jnp.float32)  # (N, F0, D)
+    return encode_from_coarse(params, spec, x, codes0, xhat)
+
+
+def encode_from_coarse(
+    params: QincoParams,
+    spec: QincoSpec,
+    x: jnp.ndarray,
+    codes0: jnp.ndarray,  # (N, F0) step-0 assignment
+    xhat: jnp.ndarray,  # (N, F0, D) step-0 reconstruction
+) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
+    """The MLP beam-search phases given an externally computed step-0
+    assignment — entry point for custom coarse quantizers (e.g. the
+    model-axis-sharded IVF book, parallel/sharded_ops.py)."""
+    N, D = x.shape
+    Ms = spec.n_mlp_steps
 
     hist = jnp.zeros((spec.M_ivf, N, codes0.shape[1]), jnp.int32)
     hist = hist.at[0].set(codes0.astype(jnp.int32))

@@ -88,3 +88,23 @@ def sharded_ivf_assign(mesh: Mesh, x, codebook_sharded, *, chunk_q: int = 65536)
     """
     idx, _ = sharded_coarse_topk(mesh, x, codebook_sharded, 1, exact=False)
     return idx[:, 0]
+
+
+def encode_ivf_sharded(mesh: Mesh, params, spec, x):
+    """Beam-search encode with the IVF codebook sharded over the model
+    axis — the billion-scale configuration (0.5-3 GB coarse books need
+    not fit one chip's working set).
+
+    Step 0 assigns via :func:`sharded_coarse_topk` (each chip scans its
+    shard; one ICI all-gather merges candidates); the step-0
+    reconstruction gathers rows from the sharded book (XLA inserts the
+    collective); the MLP phases run with the small step weights
+    replicated.  Returns the same (codes, xhat, stats) as
+    :func:`qinco_tpu.models.qinco.encode`.
+    """
+    from ..models.qinco import encode_from_coarse
+
+    assert spec.ivf_in_use, "sharded coarse encode requires an IVF model"
+    codes0 = sharded_ivf_assign(mesh, x, params.codebook0)[:, None]  # (N, 1)
+    xhat0 = params.codebook0[codes0].astype(jnp.float32)  # cross-shard gather
+    return encode_from_coarse(params, spec, x, codes0, xhat0)
