@@ -89,11 +89,22 @@ def _deep_update(dst: dict, src: dict) -> dict:
 
 
 def _parse_value(text: str) -> Any:
-    """Parse a CLI value with YAML semantics (int/float/bool/null/list)."""
+    """Parse a CLI value with YAML semantics (int/float/bool/null/list).
+
+    YAML 1.1 only treats scientific notation as a float when it has a
+    dot ('1.0e-7'); plain '1e-7' would silently stay a string, so fall
+    back to Python float parsing for such values.
+    """
     try:
-        return yaml.safe_load(text)
+        val = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(val, str):
+        try:
+            return float(val)
+        except ValueError:
+            return val
+    return val
 
 
 def _set_dotted(tree: dict, dotted: str, value: Any) -> None:

@@ -188,3 +188,28 @@ def test_logger_early_stop_on_patience(tiny_data, tmp_path):
     melog2.load_state_dict(state)
     assert melog2.best_mse == melog.best_mse
     assert melog2.best_mse_epoch == melog.best_mse_epoch
+
+
+def test_qinco1_preset_training(tiny_data, tmp_path):
+    """QINCo1 recipe end-to-end: adam + plateau schedule, A=0, B=1,
+    qinco1_mode normalization."""
+    path, x = tiny_data
+    out = tmp_path / "q1.npz"
+    rc = run_cli(
+        [
+            "task=train", "model_args=qinco1", f"trainset={path}",
+            f"output={out}",
+            "M=3", "K=16", "L=1", "dh=12",
+            # plateau mode stops on patience, not epochs (reference
+            # parity); a tiny lr stalls val MSE so the test ends fast
+            "batch=256", "ds.valset=256", "lr=1e-7",
+            "scheduler.stop_patience=0", "verbose=false",
+        ]
+    )
+    assert rc == 0 or rc is None
+    assert out.exists()
+    from qinco_tpu.checkpoint import load_checkpoint_meta
+
+    meta = load_checkpoint_meta(out)
+    assert meta["parameters"]["qinco1_mode"] is True
+    assert meta["parameters"]["A"] == 0
