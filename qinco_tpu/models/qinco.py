@@ -347,11 +347,22 @@ def encode_from_coarse(
 
 
 def encode_raw(
-    params: QincoParams, spec: QincoSpec, x: jnp.ndarray, **kw
+    params: QincoParams, spec: QincoSpec, x: jnp.ndarray, *, mesh=None, **kw
 ) -> jnp.ndarray:
     """Encode raw-space vectors; returns codes only (reference model(x,
-    step='encode'), qinco_base.py:532-534)."""
+    step='encode'), qinco_base.py:532-534).
+
+    With ``mesh`` (model axis > 1) the IVF codebook is expected sharded
+    and step 0 runs via the shard_map path (parallel/sharded_ops.py).
+    """
     x_n = (x - params.data_mean) / params.data_std
+    if mesh is not None and spec.ivf_in_use and mesh.shape.get("model", 1) > 1:
+        from ..parallel.sharded_ops import encode_ivf_sharded
+
+        codes, _, _ = jax.jit(
+            encode_ivf_sharded, static_argnames=("mesh", "spec")
+        )(mesh, params, spec, x_n)
+        return codes
     codes, _, _ = encode(params, spec, x_n, **kw)
     return codes
 
@@ -370,6 +381,7 @@ def encode_chunked(
     batch: int | None = None,
     enc_max_bs: int = 65536,
     pipeline_depth: int = 4,
+    mesh=None,
 ):
     """Host-side driver: encode any-length ``x`` in fixed-shape chunks
     (one compiled shape), zero-padding the tail.  Returns codes (M_ivf, N).
@@ -377,6 +389,7 @@ def encode_chunked(
     Dispatch is pipelined ``pipeline_depth`` chunks ahead so host<->device
     transfers overlap device compute (synchronous per-chunk readback
     serialized the billion-scale encode on remote transports).
+    ``mesh`` routes step 0 through the sharded-IVF path (see encode_raw).
     """
     import collections
 
@@ -399,7 +412,7 @@ def encode_chunked(
             chunk = np.concatenate(
                 [chunk, np.zeros((bs - n_valid, chunk.shape[1]), np.float32)]
             )
-        codes = encode_raw(params, spec, jnp.asarray(chunk))
+        codes = encode_raw(params, spec, jnp.asarray(chunk), mesh=mesh)
         in_flight.append((i, n_valid, codes))
         if len(in_flight) > pipeline_depth:
             drain_one()

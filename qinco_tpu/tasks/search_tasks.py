@@ -91,13 +91,29 @@ class EncodeDBTask(BaseSearchTask):
         end = (db_size // nproc) * (rank + 1) if rank < nproc - 1 else db_size
         self.print(f"Encoding {db_size} vectors using {nproc} process(es)")
 
+        params = self.params
+        encode_kw = {}
+        if cfg.mesh.model > 1 and self.spec.ivf_in_use:
+            # Billion-scale configuration: shard the coarse book over the
+            # model mesh axis (parallel/sharded_ops.py).
+            from ..parallel.sharded_ops import shard_codebook
+
+            self.print(
+                f"Sharding the IVF codebook over {cfg.mesh.model} chips"
+            )
+            params = params._replace(
+                codebook0=shard_codebook(self.mesh, self.params.codebook0)
+            )
+            encode_kw["mesh"] = self.mesh
+
         with timers.encode:
             codes = encode_chunked(
-                self.params,
+                params,
                 self.spec,
                 self.db_vecs[start:end],
                 batch=cfg.batch,
                 enc_max_bs=cfg.enc_max_bs,
+                **encode_kw,
             ).T  # (n, M_ivf) — reference stores codes transposed (:115)
         self.print(f"Encoding done in {timers.encode}")
 

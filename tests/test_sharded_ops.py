@@ -68,3 +68,40 @@ def test_encode_with_sharded_ivf_book_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(xhat_ref), np.asarray(xhat_sh), rtol=1e-4, atol=1e-4
     )
+
+
+def test_encode_task_with_model_axis(tmp_path):
+    """CLI encode with mesh.model>1 routes through the sharded-IVF path
+    and produces the same part files as the replicated run."""
+    import run_qinco
+
+    rng = np.random.default_rng(0)
+    D = 8
+    x = rng.normal(size=(1200, D)).astype(np.float32) * 2
+    np.save(tmp_path / "t.npy", x)
+    cents = rng.normal(size=(64, D)).astype(np.float32) * 2
+    np.save(tmp_path / "ivf.npy", cents)
+
+    run_qinco.main(
+        [
+            "task=train", f"trainset={tmp_path}/t.npy",
+            f"output={tmp_path}/m.npz", f"ivf_centroids={tmp_path}/ivf.npy",
+            "M=2", "K=16", "L=1", "de=6", "dh=8", "A=4", "B=2",
+            "batch=256", "ds.valset=200", "epochs=1",
+            "scheduler.stop_patience=0", "verbose=false",
+        ]
+    )
+    for mesh_model, tag in ((1, "rep"), (4, "sh")):
+        run_qinco.main(
+            [
+                "task=encode", f"db={tmp_path}/t.npy",
+                f"model={tmp_path}/m.npz",
+                f"ivf_centroids={tmp_path}/ivf.npy",
+                f"output={tmp_path}/c_{tag}.npz",
+                f"mesh.model={mesh_model}", "mesh.data=-1",
+                "batch=256", "ds.db=600", "verbose=false",
+            ]
+        )
+    a = np.load(tmp_path / "c_rep.part_0.npz")["codes"]
+    b = np.load(tmp_path / "c_sh.part_0.npz")["codes"]
+    np.testing.assert_array_equal(a, b)
