@@ -30,7 +30,9 @@ def sq_norm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x32 * x32, axis=-1)
 
 
-def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist(
+    a: jnp.ndarray, b: jnp.ndarray, *, precision=jax.lax.Precision.HIGHEST
+) -> jnp.ndarray:
     """Full pairwise squared distances, shape ``a[... ,d] × b[k, d] -> [..., k]``.
 
     MXU path: ``‖a‖² + ‖b‖² − 2 a·bᵀ`` with float32 accumulation.
@@ -40,7 +42,7 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         b,
         dimension_numbers=(((a.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return sq_norm(a)[..., None] + sq_norm(b) - 2.0 * dots
 

@@ -313,7 +313,9 @@ def _coarse_probe_jit(xq, centroids, nprobe: int, chunk: int = 65536):
     def body(carry, xs):
         best_d, best_i = carry
         i_chunk, book = xs
-        d = pairwise_sqdist(xq, book)  # (nq, chunk) exact: bias needs values
+        # bias values feed an int8-norm-quantized distance estimate, so
+        # bf16-rounded inputs (DEFAULT) are well within the noise
+        d = pairwise_sqdist(xq, book, precision=jax.lax.Precision.DEFAULT)
         nq_ = xq.shape[0]
         cand_d = jnp.concatenate([best_d, d], axis=1)
         chunk_ids = jnp.broadcast_to(
