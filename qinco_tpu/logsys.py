@@ -16,7 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .metrics import MSEMetric, codebook_entropy
+from .metrics import ENTROPY_MAX_CODES, MSEMetric, codebook_entropy
 from .utils import TimersManager
 
 
@@ -221,6 +221,11 @@ class MetricLogger:
         self.writer.add_scalar("MSE/val", val_mse, self.cur_step)
         self.writer.add_scalar("MSE/best", self.best_mse, self.cur_step)
 
+        # Entropy is skipped above the reference's code-count cap
+        # (reference: qinco/metrics.py:77 — disabled when sum(K_m) > 2^23,
+        # i.e. for 2^20-IVF models the IVF row alone would dominate cost).
+        if usage_rows is not None and sum(len(u) for u in usage_rows) > ENTROPY_MAX_CODES:
+            usage_rows = None
         if usage_rows is not None:
             ent = codebook_entropy(usage_rows)
             if ent:

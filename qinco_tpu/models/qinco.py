@@ -138,6 +138,23 @@ def decode_raw(params: QincoParams, spec: QincoSpec, codes: jnp.ndarray) -> jnp.
 # ---------------------------------------------------------------------------
 
 
+def _target_stats(x_target: jnp.ndarray, w: Optional[jnp.ndarray]):
+    """Per-dim mean/std of the residual target, optionally weighted by the
+    padding mask ``w (N,)`` so zero-padded rows don't skew the EMA buffers
+    (reference computes them over real rows only: qinco_base.py:296-304)."""
+    if w is None:
+        return (
+            jnp.mean(x_target, axis=(0, 1)),
+            jnp.std(x_target, axis=(0, 1), ddof=1),
+        )
+    F_in = x_target.shape[1]
+    denom = jnp.maximum(w.sum() * F_in, 2.0)
+    wf = w[:, None, None]
+    t_mean = jnp.sum(x_target * wf, axis=(0, 1)) / denom
+    var = jnp.sum((x_target - t_mean) ** 2 * wf, axis=(0, 1)) / (denom - 1.0)
+    return t_mean, jnp.sqrt(var)
+
+
 def _beam_step(
     spec: QincoSpec,
     p: StepParams,
@@ -147,6 +164,7 @@ def _beam_step(
     m,  # step row to write (int or traced)
     F_out: int,
     n_codes: int,
+    w: Optional[jnp.ndarray] = None,  # (N,) padding mask for the EMA stats
 ):
     """One beam-search step (reference: qinco_base.py:292-374)."""
     N, F_in, D = xhat.shape
@@ -164,7 +182,7 @@ def _beam_step(
             top_idx, _ = topk_smallest(sub_d, n_codes)  # (NF, n)
         if spec.pallas:
             return _beam_step_fused(
-                spec, p, x, xhat, hist, m, F_out, n_codes, top_idx
+                spec, p, x, xhat, hist, m, F_out, n_codes, top_idx, w
             )
         if spec.fast:
             # One-hot matmul rides the MXU; the gather unit is ~2x slower
@@ -204,8 +222,7 @@ def _beam_step(
     xhat_next = jnp.take_along_axis(flat, sel[..., None], axis=1)  # (N, F_out, D)
 
     x_target = x[:, None, :] - xhat  # (N, F_in, D)
-    t_mean = jnp.mean(x_target, axis=(0, 1))
-    t_std = jnp.std(x_target, axis=(0, 1), ddof=1)
+    t_mean, t_std = _target_stats(x_target, w)
     return xhat_next, hist, (t_mean, t_std)
 
 
@@ -219,6 +236,7 @@ def _beam_step_fused(
     F_out: int,
     n_codes: int,
     top_idx: jnp.ndarray,  # (NF, n_codes) substep pre-selection
+    w: Optional[jnp.ndarray] = None,
 ):
     """Pallas-kernel beam step: score all F·A candidates on-chip, then
     recompute reconstructions for only the F_out selected beams."""
@@ -261,8 +279,7 @@ def _beam_step_fused(
     xhat_next = (pred[:, 0] + xh_sel.reshape(NB, D)).reshape(N, F_out, D)
 
     x_target = x[:, None, :] - xhat
-    t_mean = jnp.mean(x_target, axis=(0, 1))
-    t_std = jnp.std(x_target, axis=(0, 1), ddof=1)
+    t_mean, t_std = _target_stats(x_target, w)
     return xhat_next, hist, (t_mean, t_std)
 
 
@@ -279,19 +296,27 @@ def encode(
     spec: QincoSpec,
     x: jnp.ndarray,
     ivf_chunk: int = 65536,
+    weights: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
     """Beam-search encode ``x (N, D)`` (normalized space).
 
+    ``weights (N,)`` optionally masks zero-padded rows out of the
+    EncodeStats (training passes its padding mask; eval leaves it None).
     Returns (codes (M_ivf, N) int32, xhat (N, D), EncodeStats).
     """
     # ---- step 0: plain codebook assignment --------------------------------
     if spec.ivf_in_use:
-        codes0, _ = chunked_argmin(x, params.codebook0, chunk=ivf_chunk)
+        # fast=spec.fast: the DEFAULT-precision (bf16-rounded) assignment is
+        # part of the opt-in fast profile only; the default profile stays
+        # XLA-exact (HIGHEST).
+        codes0, _ = chunked_argmin(
+            x, params.codebook0, chunk=ivf_chunk, fast=spec.fast
+        )
         codes0 = codes0[:, None]  # (N, 1): beam enters the MLP chain at 1
     else:
         codes0, _ = sqdist_topk(x, params.codebook0, spec.beam0)  # (N, beam0)
     xhat = params.codebook0[codes0].astype(jnp.float32)  # (N, F0, D)
-    return encode_from_coarse(params, spec, x, codes0, xhat)
+    return encode_from_coarse(params, spec, x, codes0, xhat, weights)
 
 
 def encode_from_coarse(
@@ -300,6 +325,7 @@ def encode_from_coarse(
     x: jnp.ndarray,
     codes0: jnp.ndarray,  # (N, F0) step-0 assignment
     xhat: jnp.ndarray,  # (N, F0, D) step-0 reconstruction
+    weights: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
     """The MLP beam-search phases given an externally computed step-0
     assignment — entry point for custom coarse quantizers (e.g. the
@@ -318,7 +344,8 @@ def encode_from_coarse(
     # ---- first MLP step: expands the beam F0 -> B (specialized shapes) ----
     p0 = jax.tree.map(lambda a: a[0], params.steps)
     xhat, hist, (m0, s0) = _beam_step(
-        spec, p0, x, xhat, hist, 1, F_out=spec.B, n_codes=spec.n_codes_at(0)
+        spec, p0, x, xhat, hist, 1, F_out=spec.B, n_codes=spec.n_codes_at(0),
+        w=weights,
     )
 
     # ---- remaining MLP steps: uniform scan at beam B ----------------------
@@ -329,7 +356,8 @@ def encode_from_coarse(
         def body(carry, p):
             xhat, hist, m = carry
             xhat, hist, stats = _beam_step(
-                spec, p, x, xhat, hist, m, F_out=spec.B, n_codes=n_codes
+                spec, p, x, xhat, hist, m, F_out=spec.B, n_codes=n_codes,
+                w=weights,
             )
             return (xhat, hist, m + 1), stats
 

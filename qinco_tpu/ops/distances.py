@@ -119,8 +119,10 @@ def chunked_argmin(
     carry, so peak memory is O(N × chunk) instead of O(N × K).
 
     Returns (codes (N,) int32, best partial distances (N,) f32).
-    K must be a multiple of ``chunk`` (pad the codebook with +inf rows
-    otherwise); callers with K = 2^20 and chunk = 2^16 satisfy this.
+    K must be a multiple of ``chunk``; callers with K = 2^20 and
+    chunk = 2^16 satisfy this.  If you must pad the codebook, use rows
+    of a huge *finite* value (e.g. 1e19) — never +inf, which turns the
+    matmul distance form into 0·inf = NaN.
     """
     K = codebook.shape[0]
     chunk = min(chunk, K)

@@ -300,40 +300,58 @@ class IvfIndex:
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "chunk"))
 def _coarse_probe_jit(xq, centroids, nprobe: int, chunk: int = 65536):
-    """Top-nprobe nearest centroids with exact distances, K-chunked."""
-    from ..ops.distances import pairwise_sqdist
+    """Top-nprobe nearest centroids, K-chunked.
+
+    Padding rows are zeros with their distances overwritten by a large
+    *finite* sentinel — +inf rows would produce 0·inf = NaN in the matmul
+    distance form, and lax.top_k ranks NaN above everything (silent
+    recall collapse when nlist % chunk != 0).
+    """
+    from ..ops.distances import pairwise_sqdist, pairwise_sqdist_partial
 
     K = centroids.shape[0]
     chunk = min(chunk, K)
     n_chunks = -(-K // chunk)
     pad = n_chunks * chunk - K
-    cent = jnp.pad(centroids, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    cent = jnp.pad(centroids, ((0, pad), (0, 0)))
     books = cent.reshape(n_chunks, chunk, -1)
 
     def body(carry, xs):
         best_d, best_i = carry
         i_chunk, book = xs
-        # bias values feed an int8-norm-quantized distance estimate, so
-        # bf16-rounded inputs (DEFAULT) are well within the noise
-        d = pairwise_sqdist(xq, book, precision=jax.lax.Precision.DEFAULT)
         nq_ = xq.shape[0]
-        cand_d = jnp.concatenate([best_d, d], axis=1)
-        chunk_ids = jnp.broadcast_to(
-            jnp.arange(chunk, dtype=jnp.int32)[None, :] + i_chunk * chunk,
-            (nq_, chunk),
+        # Selection tolerates bf16-rounded inputs (DEFAULT) — flips happen
+        # only at probe-boundary ties; the bias term is recomputed exactly
+        # for the selected centroids below.
+        d = pairwise_sqdist_partial(
+            xq, book, precision=jax.lax.Precision.DEFAULT
         )
-        cand_i = jnp.concatenate([best_i, chunk_ids], axis=1)
+        chunk_ids = (
+            jnp.arange(chunk, dtype=jnp.int32)[None, :] + i_chunk * chunk
+        )
+        d = jnp.where(chunk_ids < K, d, 3.4e37)  # mask padded columns
+        cand_d = jnp.concatenate([best_d, d], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(chunk_ids, (nq_, chunk))], axis=1
+        )
         neg, sel = jax.lax.top_k(-cand_d, nprobe)
         return (-neg, jnp.take_along_axis(cand_i, sel, axis=1)), None
 
     nq = xq.shape[0]
     init = (
-        jnp.full((nq, nprobe), jnp.inf, jnp.float32),
+        jnp.full((nq, nprobe), 3.4e38, jnp.float32),
         jnp.zeros((nq, nprobe), jnp.int32),
     )
-    (dists, idx), _ = jax.lax.scan(
+    (_, idx), _ = jax.lax.scan(
         body, init, (jnp.arange(n_chunks, dtype=jnp.int32), books)
     )
+    # Exact ‖q−c‖² bias for the selected centroids only (nprobe·D work):
+    # the bias enters the scan's distance estimate additively, and its
+    # bf16 input-rounding error scales with |q·c| — dominant on
+    # non-centered datasets — so it is kept at HIGHEST precision.
+    sel_cent = cent[idx]  # (nq, nprobe, D)
+    diff = xq[:, None, :] - sel_cent
+    dists = jnp.sum(diff * diff, axis=-1)
     return idx, dists
 
 

@@ -26,6 +26,30 @@ from ..metrics import corrected_mse
 from .base import BaseTask
 
 
+class _GroupValid:
+    """Batch-group view: concatenated rows + total valid count."""
+
+    def __init__(self, x, n_valid):
+        self.x = x
+        self.n_valid = n_valid
+
+
+def _grouped_batches(it, accum: int):
+    """Group loader micro-batches ``accum`` at a time, padding the final
+    group with zero-valid batches so the jitted step keeps one shape."""
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == accum:
+            yield buf
+            buf = []
+    if buf:
+        zero = np.zeros_like(buf[0].x)
+        while len(buf) < accum:
+            buf.append(_GroupValid(zero, 0))
+        yield buf
+
+
 class TrainTask(BaseTask):
     def setup(self):
         super().setup()
@@ -57,8 +81,13 @@ class TrainTask(BaseTask):
         if cfg.task != "train":
             return None, None
         if cfg.qinco1_mode:
-            d_min = float(np.min(self.train_vecs[:100_000]))
-            d_max = float(np.max(self.train_vecs[:100_000]))
+            # Full-trainset extremes (reference: qinco_tasks.py:418-420 uses
+            # the whole trainset, not a 100k sample); streamed off the memmap.
+            d_min, d_max = np.inf, -np.inf
+            for i in range(0, len(self.train_vecs), 1_000_000):
+                blk = np.asarray(self.train_vecs[i : i + 1_000_000])
+                d_min = min(d_min, float(blk.min()))
+                d_max = max(d_max, float(blk.max()))
             mean = np.ones((self.data_dim,), np.float32) * d_min + 1
             std = (d_max - d_min) / 2
             self.print(f"QINCo1 mode: rescale interval [{d_min:g};{d_max:g}] to [-1;1]")
@@ -100,7 +129,8 @@ class TrainTask(BaseTask):
         schedule = build_schedule(cfg)
         tx = build_optimizer(cfg, self.params, spec)
         opt_state = tx.init(self.params)
-        train_step = make_train_step(spec, tx, cfg.grad_clip)
+        accum = max(1, int(cfg.get("grad_accumulate", 1) or 1))
+        train_step = make_train_step(spec, tx, cfg.grad_clip, accum=accum)
 
         start_epoch = 0
         melog = MetricLogger(cfg, is_main=self.is_main, save_fn=None)
@@ -152,7 +182,10 @@ class TrainTask(BaseTask):
             melog.cur_epoch = epoch
             if isinstance(schedule, ReduceLROnPlateau):
                 schedule.step(mse_val)
-            n_batches = len(self.train_loader)
+            # One logical "batch" = one optimizer step = `accum` loader
+            # micro-batches (effective batch accum × batch × hosts,
+            # reference: qinco/log.py:160).
+            n_batches = max(1, -(-len(self.train_loader) // accum))
             lr = schedule.lr(epoch)
             melog.start_epoch(epoch, n_batches, lr)
             mstate = reset_usage(mstate)
@@ -164,14 +197,23 @@ class TrainTask(BaseTask):
             sum_total = None
             sum_each: dict = {}
             n_seen = 0
-            for i_batch, b in enumerate(self.train_loader.epoch(epoch)):
+            for i_batch, group in enumerate(
+                _grouped_batches(self.train_loader.epoch(epoch), accum)
+            ):
                 # Fractional cosine step per batch (reference:
                 # qinco_tasks.py:156-168).
                 lr = schedule.lr(epoch + (i_batch + 1) / n_batches)
                 opt_state = set_learning_rate(opt_state, lr)
-                xb = shard_batch(self.mesh, b.x)
-                w = np.zeros((len(b.x),), np.float32)
-                w[: b.n_valid] = 1.0
+                if accum == 1:
+                    x_np = group[0].x
+                else:
+                    x_np = np.concatenate([g.x for g in group])
+                w = np.zeros((len(x_np),), np.float32)
+                bs = len(group[0].x)
+                for j, g in enumerate(group):
+                    w[j * bs : j * bs + g.n_valid] = 1.0
+                b = _GroupValid(x=x_np, n_valid=int(w.sum()))
+                xb = shard_batch(self.mesh, x_np)
                 wb = shard_batch(self.mesh, w)
                 params, opt_state, mstate, out = train_step(
                     params, opt_state, mstate, xb, wb
@@ -212,19 +254,19 @@ class TrainTask(BaseTask):
                 },
             )
 
-            # Dead-codeword reset (reference: qinco_base.py:505-522).
-            if not spec.qinco1_mode:
-                key, k_reset = jax.random.split(key)
-                params, n_reset = reset_unused_codebooks(
-                    k_reset, params, mstate, spec,
-                    noise_init=cfg.codebook_noise_init,
+            # Dead-codeword reset — runs in qinco1 mode too, with noise
+            # scale 1 (reference: qinco_base.py:402-409, 505-522).
+            key, k_reset = jax.random.split(key)
+            params, n_reset = reset_unused_codebooks(
+                k_reset, params, mstate, spec,
+                noise_init=cfg.codebook_noise_init,
+            )
+            n_reset = np.asarray(n_reset)
+            if n_reset.sum():
+                self.print(
+                    f"Reset {int(n_reset.sum())} codewords at end of epoch "
+                    f"{epoch} (per step: {n_reset.tolist()})"
                 )
-                n_reset = np.asarray(n_reset)
-                if n_reset.sum():
-                    self.print(
-                        f"Reset {int(n_reset.sum())} codewords at end of epoch "
-                        f"{epoch} (per step: {n_reset.tolist()})"
-                    )
 
             epoch += 1
 

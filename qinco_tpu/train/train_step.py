@@ -93,55 +93,113 @@ def _clip_by_value(grads, clip: float):
     return jax.tree.map(lambda g: jnp.clip(g, -clip, clip), grads)
 
 
-def make_train_step(spec: QincoSpec, tx, grad_clip: float | None):
+def _micro_batch_pass(spec: QincoSpec, params, mstate: ModelState, x, weights):
+    """Forward + grad of one micro-batch; updates the EMA/usage state.
+
+    Returns (grads·n_valid, losses·n_valid, n_valid, codes, mstate): the
+    caller divides by the total valid count, which makes accumulated
+    micro-batches *exactly* equal to one large batch (the reference's
+    effective batch = nproc × batch × accum, qinco/log.py:160).
+    """
+    codes, _, enc_stats = encode(
+        jax.lax.stop_gradient(params), spec, x, weights=weights
+    )
+
+    def loss_fn(p):
+        total, aux = train_losses(p, spec, x, codes, weights)
+        return total, aux
+
+    (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    # EMA buffers (reference: qinco_base.py:296-304).  A fully padded
+    # micro-batch (grad-accum tail) contributes no update: momentum 0.
+    m = STATS_MOMENTUM * (weights.sum() > 0)
+    n_valid = jnp.maximum(weights.sum(), 1.0)
+    x_mean = jnp.sum(x * weights[:, None], axis=0) / n_valid
+    x_var = jnp.sum((x - x_mean) ** 2 * weights[:, None], axis=0) / jnp.maximum(
+        n_valid - 1.0, 1.0
+    )
+    mstate = mstate._replace(
+        xtarget_mean=m * enc_stats.xtarget_mean + (1 - m) * mstate.xtarget_mean,
+        xtarget_var=m * enc_stats.xtarget_std + (1 - m) * mstate.xtarget_var,
+        x0_mean=m * x_mean + (1 - m) * mstate.x0_mean,
+        x0_std=m * jnp.sqrt(x_var) + (1 - m) * mstate.x0_std,
+    )
+
+    # Codeword-usage histograms for entropy logging + dead-code reset
+    # (reference: metrics.py:83-91, log.py:253-254).
+    w_int = weights.astype(jnp.int32)
+    usage0 = mstate.usage0.at[codes[0]].add(w_int)
+    usage = jax.vmap(lambda u, c: u.at[c].add(w_int))(mstate.usage, codes[1:])
+    mstate = mstate._replace(usage0=usage0, usage=usage)
+
+    nv = weights.sum()
+    losses = {k: v * nv for k, v in aux.items() if k != "xhat"}
+    grads = jax.tree.map(lambda g: g * nv, grads)
+    return grads, (total * nv, losses), nv, codes, mstate
+
+
+def make_train_step(spec: QincoSpec, tx, grad_clip: float | None, accum: int = 1):
     """Build the jitted train step.
 
-    Signature: (params, opt_state, mstate, batch_raw (N,D), weights (N,))
-    -> (params, opt_state, mstate, TrainStepOutput).
+    Signature: (params, opt_state, mstate, batch_raw (accum·N, D),
+    weights (accum·N,)) -> (params, opt_state, mstate, TrainStepOutput).
+
+    ``accum > 1`` scans ``accum`` micro-batches of N rows, averaging
+    gradients weighted by valid-row counts before the single optimizer
+    update — numerically identical to one (accum·N)-row batch (the
+    reference wires this through accelerate, qinco_tasks.py:341).
     """
 
     def train_step(params, opt_state, mstate: ModelState, batch, weights):
         # Normalize with frozen statistics (no grad into mean/std).
         mean = jax.lax.stop_gradient(params.data_mean)
         std = jax.lax.stop_gradient(params.data_std)
-        x = (batch - mean) / std
+        x_all = (batch - mean) / std
 
-        # No-grad encode (reference: qinco_base.py:488-489).
-        codes, _, enc_stats = encode(jax.lax.stop_gradient(params), spec, x)
+        if accum == 1:
+            grads, (total, losses), nv, codes, mstate = _micro_batch_pass(
+                spec, params, mstate, x_all, weights
+            )
+            n_total = jnp.maximum(nv, 1.0)
+        else:
+            D = batch.shape[-1]
+            xs = x_all.reshape(accum, -1, D)
+            ws = weights.reshape(accum, -1)
 
-        def loss_fn(p):
-            total, aux = train_losses(p, spec, x, codes, weights)
-            return total, aux
+            def body(carry, xw):
+                gsum, tsum, lsums, mstate = carry
+                x, w = xw
+                g, (t, ls), nv, codes, mstate = _micro_batch_pass(
+                    spec, params, mstate, x, w
+                )
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                lsums = jax.tree.map(jnp.add, lsums, ls)
+                return (gsum, tsum + t, lsums, mstate), (codes, nv)
 
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            g0 = jax.tree.map(jnp.zeros_like, params)
+            # Trace one micro-batch to get the loss-dict structure.
+            l0 = jax.eval_shape(
+                lambda p: _micro_batch_pass(spec, p, mstate, xs[0], ws[0])[1][1],
+                params,
+            )
+            l0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), l0)
+            (grads, total, losses, mstate), (codes_all, nvs) = jax.lax.scan(
+                body, (g0, jnp.float32(0.0), l0, mstate), (xs, ws)
+            )
+            n_total = jnp.maximum(nvs.sum(), 1.0)
+            # (accum, M_ivf, N) -> (M_ivf, accum·N)
+            codes = jnp.moveaxis(codes_all, 0, 1).reshape(codes_all.shape[1], -1)
+
+        grads = jax.tree.map(lambda g: g / n_total, grads)
+        total = total / n_total
+        losses = jax.tree.map(lambda v: v / n_total, losses)
+
         if grad_clip:
             grads = _clip_by_value(grads, grad_clip)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        # EMA buffers (reference: qinco_base.py:296-304).
-        m = STATS_MOMENTUM
-        w_batch = weights
-        n_valid = jnp.maximum(w_batch.sum(), 1.0)
-        x_mean = jnp.sum(x * w_batch[:, None], axis=0) / n_valid
-        x_var = jnp.sum((x - x_mean) ** 2 * w_batch[:, None], axis=0) / jnp.maximum(
-            n_valid - 1.0, 1.0
-        )
-        mstate = mstate._replace(
-            xtarget_mean=m * enc_stats.xtarget_mean + (1 - m) * mstate.xtarget_mean,
-            xtarget_var=m * enc_stats.xtarget_std + (1 - m) * mstate.xtarget_var,
-            x0_mean=m * x_mean + (1 - m) * mstate.x0_mean,
-            x0_std=m * jnp.sqrt(x_var) + (1 - m) * mstate.x0_std,
-        )
-
-        # Codeword-usage histograms for entropy logging + dead-code reset
-        # (reference: metrics.py:83-91, log.py:253-254).
-        w_int = weights.astype(jnp.int32)
-        usage0 = mstate.usage0.at[codes[0]].add(w_int)
-        usage = jax.vmap(lambda u, c: u.at[c].add(w_int))(mstate.usage, codes[1:])
-        mstate = mstate._replace(usage0=usage0, usage=usage)
-
-        losses = {k: v for k, v in aux.items() if k != "xhat"}
         return params, opt_state, mstate, TrainStepOutput(total, losses, codes)
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2))

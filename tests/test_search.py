@@ -261,3 +261,42 @@ def test_ivf_index_with_hnsw_coarse(ivf_setup):
     gt = np.arange(100)[:, None]
     rec = compute_recalls(ids, gt)[10]
     assert rec > 0.8, rec
+
+
+def test_coarse_probe_nlist_not_multiple_of_chunk():
+    """Padded centroid columns must never win top-nprobe (inf-padding
+    produced NaN distances that lax.top_k ranked first — ADVICE r1)."""
+    from qinco_tpu.search.index import _coarse_probe_jit
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    nlist, D, nq, nprobe = 100, 16, 32, 8
+    cent = rng.normal(size=(nlist, D)).astype(np.float32)
+    xq = rng.normal(size=(nq, D)).astype(np.float32)
+    idx, dists = _coarse_probe_jit(
+        jnp.asarray(xq), jnp.asarray(cent), nprobe, chunk=64
+    )
+    idx, dists = np.asarray(idx), np.asarray(dists)
+    assert idx.max() < nlist and idx.min() >= 0
+    assert np.isfinite(dists).all()
+    # matches brute force exactly (CPU: DEFAULT == f32)
+    ref = ((xq[:, None, :] - cent[None]) ** 2).sum(-1)
+    ref_idx = np.argsort(ref, axis=1)[:, :nprobe]
+    assert sorted(idx[0].tolist()) == sorted(ref_idx[0].tolist())
+    np.testing.assert_allclose(
+        np.sort(dists, axis=1), np.sort(ref, axis=1)[:, :nprobe], rtol=1e-4
+    )
+
+
+def test_coarse_probe_bias_is_exact():
+    """The returned bias must be the exact ||q-c||^2 of the selected
+    centroids (recomputed at HIGHEST precision after selection)."""
+    from qinco_tpu.search.index import coarse_probe
+
+    rng = np.random.default_rng(4)
+    # non-centered data: bf16 rounding error on |q.c| would be visible
+    cent = (rng.normal(size=(64, 8)) + 50.0).astype(np.float32)
+    xq = (rng.normal(size=(16, 8)) + 50.0).astype(np.float32)
+    idx, bias = coarse_probe(xq, cent, 4)
+    ref = ((xq[:, None, :] - cent[idx]) ** 2).sum(-1)
+    np.testing.assert_allclose(bias, ref, rtol=1e-5)

@@ -211,3 +211,76 @@ def test_build_schedule_from_config():
     cfg1 = load_config(preset="qinco1")
     s1 = build_schedule(cfg1)
     assert isinstance(s1, ReduceLROnPlateau)
+
+
+def test_grad_accumulation_matches_large_batch():
+    """accum=4 x 16-row micro-batches == one 64-row batch
+    (reference effective batch: qinco/log.py:160, qinco_tasks.py:341)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(64, 8)).astype(np.float32)
+    w = np.ones((64,), np.float32)
+
+    spec, params, mstate, tx, opt_state, step1 = _tiny_setup()
+    p1, o1, m1, out1 = step1(params, opt_state, mstate, jnp.asarray(x), jnp.asarray(w))
+
+    spec, params, mstate, tx, opt_state, _ = _tiny_setup()
+    step4 = make_train_step(spec, tx, grad_clip=0.1, accum=4)
+    p4, o4, m4, out4 = step4(params, opt_state, mstate, jnp.asarray(x), jnp.asarray(w))
+
+    assert float(out1.total_loss) == pytest.approx(float(out4.total_loss), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(out1.codes), np.asarray(out4.codes))
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    # usage histograms identical
+    np.testing.assert_array_equal(np.asarray(m1.usage), np.asarray(m4.usage))
+
+
+def test_grad_accumulation_padded_tail_group():
+    """A fully padded micro-batch (weights all zero) must not change the
+    result vs. the same rows without the padding group."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(32, 8)).astype(np.float32)
+
+    spec, params, mstate, tx, opt_state, _ = _tiny_setup()
+    step2 = make_train_step(spec, tx, grad_clip=0.1, accum=2)
+    x_pad = np.concatenate([x, np.zeros((32, 8), np.float32)])
+    w_pad = np.concatenate([np.ones((32,), np.float32), np.zeros((32,), np.float32)])
+    p2, _, m2, out2 = step2(
+        params, opt_state, mstate, jnp.asarray(x_pad), jnp.asarray(w_pad)
+    )
+
+    spec, params, mstate, tx, opt_state, step1 = _tiny_setup()
+    p1, _, m1, out1 = step1(
+        params, opt_state, mstate, jnp.asarray(x), jnp.ones((32,), jnp.float32)
+    )
+    assert float(out1.total_loss) == pytest.approx(float(out2.total_loss), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    # EMA buffers skipped the empty group: equal to the unpadded run
+    np.testing.assert_allclose(
+        np.asarray(m1.xtarget_mean), np.asarray(m2.xtarget_mean), rtol=1e-5
+    )
+
+
+def test_encode_stats_ignore_padded_rows():
+    """EncodeStats must be identical whether padded rows are present or
+    not, when the padding mask is supplied (ADVICE r1)."""
+    from qinco_tpu.models.qinco import encode
+
+    spec = QincoSpec(D=8, K=16, M=3, L=1, de=6, dh=12, A=4, B=2)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(24, 8)).astype(np.float32)
+    x_pad = np.concatenate([x, np.zeros((8, 8), np.float32)])
+    w_pad = jnp.concatenate([jnp.ones(24), jnp.zeros(8)])
+
+    _, _, s_ref = encode(params, spec, jnp.asarray(x), weights=jnp.ones(24))
+    _, _, s_pad = encode(params, spec, jnp.asarray(x_pad), weights=w_pad)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.xtarget_mean), np.asarray(s_pad.xtarget_mean),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.xtarget_std), np.asarray(s_pad.xtarget_std),
+        rtol=1e-5, atol=1e-6,
+    )
