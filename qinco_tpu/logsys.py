@@ -259,8 +259,18 @@ class MetricLogger:
         self.timers.eval.start(reset=True)
         self.val_mse.reset()
 
+    def step_eval_sums(self, i_batch: int, sq_err_sum: float, n_valid: int) -> None:
+        """Eval progress from pre-reduced sums (multi-host safe: the
+        caller computed the global squared-error sum inside jit; no
+        per-host array readback needed)."""
+        self.val_mse.update_sums(sq_err_sum, n_valid)
+        self._print_eval_progress(i_batch)
+
     def step_eval(self, i_batch: int, batch, xhat, n_valid: int) -> None:
         self.val_mse.update(batch, xhat, n_valid)
+        self._print_eval_progress(i_batch)
+
+    def _print_eval_progress(self, i_batch: int) -> None:
         if self.verbose and self.is_main:
             print(
                 "\033[K"

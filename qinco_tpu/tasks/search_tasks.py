@@ -95,16 +95,21 @@ class EncodeDBTask(BaseSearchTask):
         encode_kw = {}
         if cfg.mesh.model > 1 and self.spec.ivf_in_use:
             # Billion-scale configuration: shard the coarse book over the
-            # model mesh axis (parallel/sharded_ops.py).
+            # model mesh axis (parallel/sharded_ops.py).  The mesh is
+            # *local* to this process: DB encoding is embarrassingly
+            # parallel across ranks (each encodes its own slice), so the
+            # book-shard collectives must stay within the host.
+            from ..parallel.mesh import local_mesh
             from ..parallel.sharded_ops import shard_codebook
 
+            mesh = local_mesh(model=cfg.mesh.model)
             self.print(
                 f"Sharding the IVF codebook over {cfg.mesh.model} chips"
             )
             params = params._replace(
-                codebook0=shard_codebook(self.mesh, self.params.codebook0)
+                codebook0=shard_codebook(mesh, self.params.codebook0)
             )
-            encode_kw["mesh"] = self.mesh
+            encode_kw["mesh"] = mesh
 
         with timers.encode:
             codes = encode_chunked(

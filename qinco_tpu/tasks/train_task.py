@@ -13,7 +13,7 @@ from ..data.datasets import load_vec_trainset
 from ..logsys import MetricLogger
 from ..models.scheduler import ReduceLROnPlateau, build_schedule
 from ..ops.rq import train_rq
-from ..parallel.mesh import replicate, shard_batch
+from ..parallel.mesh import replicate, shard_batch, shard_stacked_batch
 from ..train.loop import compute_mse
 from ..train.train_step import (
     build_optimizer,
@@ -206,19 +206,26 @@ class TrainTask(BaseTask):
                 opt_state = set_learning_rate(opt_state, lr)
                 if accum == 1:
                     x_np = group[0].x
+                    w = np.zeros((len(x_np),), np.float32)
+                    w[: group[0].n_valid] = 1.0
+                    xb = shard_batch(self.mesh, x_np)
+                    wb = shard_batch(self.mesh, w)
                 else:
-                    x_np = np.concatenate([g.x for g in group])
-                w = np.zeros((len(x_np),), np.float32)
-                bs = len(group[0].x)
-                for j, g in enumerate(group):
-                    w[j * bs : j * bs + g.n_valid] = 1.0
+                    # Stacked micro-batches: (accum, N, D) sharded on
+                    # axis 1 (see make_train_step / shard_stacked_batch).
+                    x_np = np.stack([g.x for g in group])
+                    w = np.zeros(x_np.shape[:2], np.float32)
+                    for j, g in enumerate(group):
+                        w[j, : g.n_valid] = 1.0
+                    xb = shard_stacked_batch(self.mesh, x_np)
+                    wb = shard_stacked_batch(self.mesh, w)
                 b = _GroupValid(x=x_np, n_valid=int(w.sum()))
-                xb = shard_batch(self.mesh, x_np)
-                wb = shard_batch(self.mesh, w)
                 params, opt_state, mstate, out = train_step(
                     params, opt_state, mstate, xb, wb
                 )
-                nv = b.n_valid
+                # Global valid count: hosts feed identical-shape shards
+                # (effective batch = batch × accum × hosts, log.py:160).
+                nv = b.n_valid * self.process_count
                 n_seen += nv
                 sum_total = (
                     out.total_loss * nv

@@ -80,6 +80,11 @@ def compute_mse(
         yield first
         yield from it
 
+    # Multi-host: every process feeds identical-shape shards (the data
+    # layer hands each host exactly span//n rows), so the global valid
+    # count is local n_valid × process_count; the squared-error sum is
+    # already global (computed inside jit over the sharded batch).
+    n_hosts = jax.process_count()
     for i_batch, b in enumerate(batches()):
         xb = put(b.x)
         with t_encode:
@@ -90,10 +95,12 @@ def compute_mse(
             jax.block_until_ready(xhat)
         w = np.zeros((len(b.x),), np.float32)
         w[: b.n_valid] = 1.0
-        loss_sum += float(sq_err_fn(xb, xhat, put(w)))
-        n_vecs += b.n_valid
+        err = float(sq_err_fn(xb, xhat, put(w)))
+        nv = b.n_valid * n_hosts
+        loss_sum += err
+        n_vecs += nv
         if melog is not None:
-            melog.step_eval(i_batch, b.x, np.asarray(xhat), b.n_valid)
+            melog.step_eval_sums(i_batch, err, nv)
 
     if timing:
         print(f"Encoding time: {t_encode.s()} | Decoding time: {t_decode.s()}")

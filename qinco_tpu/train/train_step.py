@@ -142,13 +142,16 @@ def _micro_batch_pass(spec: QincoSpec, params, mstate: ModelState, x, weights):
 def make_train_step(spec: QincoSpec, tx, grad_clip: float | None, accum: int = 1):
     """Build the jitted train step.
 
-    Signature: (params, opt_state, mstate, batch_raw (accum·N, D),
-    weights (accum·N,)) -> (params, opt_state, mstate, TrainStepOutput).
+    accum == 1: (params, opt_state, mstate, batch (N, D), weights (N,)).
+    accum > 1:  batch (accum, N, D), weights (accum, N) — *stacked*
+    micro-batches (place with ``shard_stacked_batch`` so each stays
+    spread over the data axis; a flat concatenation would force a
+    resharding collective per micro-batch).
 
-    ``accum > 1`` scans ``accum`` micro-batches of N rows, averaging
-    gradients weighted by valid-row counts before the single optimizer
-    update — numerically identical to one (accum·N)-row batch (the
-    reference wires this through accelerate, qinco_tasks.py:341).
+    ``accum > 1`` scans the micro-batches, averaging gradients weighted
+    by valid-row counts before the single optimizer update — numerically
+    identical to one (accum·N)-row batch (the reference wires this
+    through accelerate, qinco_tasks.py:341).
     """
 
     def train_step(params, opt_state, mstate: ModelState, batch, weights):
@@ -163,9 +166,12 @@ def make_train_step(spec: QincoSpec, tx, grad_clip: float | None, accum: int = 1
             )
             n_total = jnp.maximum(nv, 1.0)
         else:
-            D = batch.shape[-1]
-            xs = x_all.reshape(accum, -1, D)
-            ws = weights.reshape(accum, -1)
+            assert batch.ndim == 3 and batch.shape[0] == accum, (
+                f"accum={accum} expects stacked (accum, N, D) batches, "
+                f"got {batch.shape}"
+            )
+            xs = x_all
+            ws = weights
 
             def body(carry, xw):
                 gsum, tsum, lsums, mstate = carry

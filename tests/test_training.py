@@ -225,7 +225,10 @@ def test_grad_accumulation_matches_large_batch():
 
     spec, params, mstate, tx, opt_state, _ = _tiny_setup()
     step4 = make_train_step(spec, tx, grad_clip=0.1, accum=4)
-    p4, o4, m4, out4 = step4(params, opt_state, mstate, jnp.asarray(x), jnp.asarray(w))
+    p4, o4, m4, out4 = step4(
+        params, opt_state, mstate,
+        jnp.asarray(x.reshape(4, 16, 8)), jnp.asarray(w.reshape(4, 16)),
+    )
 
     assert float(out1.total_loss) == pytest.approx(float(out4.total_loss), rel=1e-5)
     np.testing.assert_array_equal(np.asarray(out1.codes), np.asarray(out4.codes))
@@ -243,8 +246,8 @@ def test_grad_accumulation_padded_tail_group():
 
     spec, params, mstate, tx, opt_state, _ = _tiny_setup()
     step2 = make_train_step(spec, tx, grad_clip=0.1, accum=2)
-    x_pad = np.concatenate([x, np.zeros((32, 8), np.float32)])
-    w_pad = np.concatenate([np.ones((32,), np.float32), np.zeros((32,), np.float32)])
+    x_pad = np.stack([x, np.zeros((32, 8), np.float32)])  # (2, 32, 8)
+    w_pad = np.stack([np.ones((32,), np.float32), np.zeros((32,), np.float32)])
     p2, _, m2, out2 = step2(
         params, opt_state, mstate, jnp.asarray(x_pad), jnp.asarray(w_pad)
     )
