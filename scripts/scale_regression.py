@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""Scale regression: the full billion-scale-style pipeline on a synthetic
+clustered DB, one command (VERDICT r1 #3).
+
+Default scale: 10M vectors × D=128, ivf_K=2^16 — the reference's own
+smoke anchor is 10M/IVF65k (reference: qinco_v1/docs/IVF_search.md:61,
+README.md:376-382).  Runs:
+
+  gen data -> ivf_centroids (TPU k-means) -> train -> encode trainset+db
+  -> build_index -> search sweep -> validations
+
+and records a JSON report with per-phase wall-clock, recall/time
+operating points, HNSW-vs-exact coarse recall, int8-norm quantization
+error, and a Pareto-prior-ordering check (VERDICT r1 #4: do the first-k
+explored points hit the measured frontier?).
+
+Usage:
+  python scripts/scale_regression.py --out /tmp/scale [--db-size 10000000]
+      [--ivf-k 65536] [--epochs 2] [--cpu-search]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def log(*a):
+    print("[scale]", *a, flush=True)
+
+
+def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int, seed=0):
+    """Clustered synthetic data + exact GT (TPU brute force)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n_centers = 8192
+    centers = (rng.normal(size=(n_centers, d)) * 3).astype(np.float32)
+
+    def sample(n, s, chunk=1_000_000):
+        r = np.random.default_rng(s)
+        parts = []
+        for i in range(0, n, chunk):
+            m = min(chunk, n - i)
+            parts.append(
+                centers[r.integers(0, n_centers, size=m)]
+                + 0.5 * r.normal(size=(m, d)).astype(np.float32)
+            )
+        return np.concatenate(parts).astype(np.float32)
+
+    log(f"generating train {train_size}, db {db_size}, queries {nq}")
+    train = sample(train_size, 1)
+    np.save(out / "train.npy", train)
+    del train
+    db = sample(db_size, 2)
+    np.save(out / "db.npy", db)
+    queries = db[rng.integers(0, db_size, size=nq)] + 0.05 * rng.normal(
+        size=(nq, d)
+    ).astype(np.float32)
+    np.save(out / "queries.npy", queries.astype(np.float32))
+
+    # exact GT: chunked top-100 on device (running merge)
+    log("computing exact ground truth on device")
+    qd = jnp.asarray(queries.astype(np.float32))
+
+    @jax.jit
+    def chunk_top(qd, db_chunk, base, best_d, best_i):
+        from qinco_tpu.ops.distances import pairwise_sqdist_partial
+
+        dloc = pairwise_sqdist_partial(qd, db_chunk)  # (nq, c)
+        ids = jnp.arange(db_chunk.shape[0], dtype=jnp.int32) + base
+        cand_d = jnp.concatenate([best_d, dloc], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None], dloc.shape)], axis=1
+        )
+        neg, sel = jax.lax.top_k(-cand_d, 100)
+        return -neg, jnp.take_along_axis(cand_i, sel, axis=1)
+
+    best_d = jnp.full((nq, 100), 3.4e38, jnp.float32)
+    best_i = jnp.zeros((nq, 100), jnp.int32)
+    chunk = 1_000_000
+    for i in range(0, db_size, chunk):
+        best_d, best_i = chunk_top(
+            qd, jnp.asarray(db[i : i + chunk]), i, best_d, best_i
+        )
+    gt = np.asarray(best_i)
+    np.save(out / "gt.npy", gt)
+    del db
+    return gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path, default=Path("/tmp/scale_regression"))
+    ap.add_argument("--db-size", type=int, default=10_000_000)
+    ap.add_argument("--train-size", type=int, default=1_000_000)
+    ap.add_argument("--nq", type=int, default=4096)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--ivf-k", type=int, default=65536)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--cpu-search", action="store_true",
+                    help="also run the search sweep with cpu=true "
+                         "(the reference's timing protocol)")
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--tiny-model", action="store_true",
+                    help="small explicit model args + no Pallas (CPU smoke)")
+    args = ap.parse_args()
+    out = args.out
+    out.mkdir(parents=True, exist_ok=True)
+    report: dict = {"config": vars(args) | {"out": str(out)}, "phases": {}}
+
+    import run_qinco
+
+    if args.tiny_model:
+        model_args = ["M=2", "K=16", "L=1", "de=8", "dh=12", "A=4", "B=2"]
+        profile = []
+    else:
+        model_args = ["model_args=qinco2-S"]
+        profile = ["pallas=true", "fast_encode=true", "compute_dtype=bfloat16"]
+
+    def phase(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        dt = time.perf_counter() - t0
+        report["phases"][name] = round(dt, 2)
+        log(f"phase {name}: {dt:.1f}s")
+        return r
+
+    if not args.skip_gen or not (out / "gt.npy").exists():
+        phase("gen_data", lambda: gen_data(
+            out, args.db_size, args.train_size, args.nq, args.d
+        ))
+
+    # 1. IVF centroids (TPU k-means, device-side streaming M-step)
+    if not (out / "ivf.npy").exists():
+        phase("ivf_centroids", lambda: run_qinco.main([
+            "task=ivf_centroids", f"trainset={out}/train.npy",
+            f"output={out}/ivf.npy", f"ivf_K={args.ivf_k}",
+            "ds.valset=10000", "verbose=true",
+        ]))
+        # k-means quality proxy: quantization MSE of a sample
+        import jax.numpy as jnp
+
+        from qinco_tpu.ops.distances import chunked_argmin
+
+        cents = np.load(out / "ivf.npy")
+        sample = np.load(out / "train.npy", mmap_mode="r")[:100_000]
+        codes, _ = chunked_argmin(
+            jnp.asarray(np.asarray(sample, np.float32)), jnp.asarray(cents)
+        )
+        mse = float(((sample - cents[np.asarray(codes)]) ** 2).sum(1).mean())
+        report["kmeans_sample_mse"] = mse
+        log(f"k-means sample quantization MSE/vector: {mse:g}")
+
+    # 2. Train the IVF model (qinco2-S shapes)
+    if not (out / "model.npz").exists():
+        phase("train", lambda: run_qinco.main([
+            "task=train", f"trainset={out}/train.npy",
+            f"output={out}/model.npz", f"ivf_centroids={out}/ivf.npy",
+        ] + model_args + [
+            "ds.valset=10000", "ds.loop=500000", f"epochs={args.epochs}",
+            "scheduler.stop_patience=0",
+        ] + profile))
+
+    # 3. Encode trainset + DB
+    if not (out / "codes_train.npz").exists():
+        phase("encode_trainset", lambda: run_qinco.main([
+            "task=encode", f"trainset={out}/train.npy",
+            f"model={out}/model.npz", f"ivf_centroids={out}/ivf.npy",
+            f"output={out}/codes_train.npz", "encode_trainset=true",
+            "ds.valset=10000", "verbose=false",
+        ] + profile))
+    if not (out / "codes_db.npz").exists():
+        phase("encode_db", lambda: run_qinco.main([
+            "task=encode", f"db={out}/db.npy",
+            f"model={out}/model.npz", f"ivf_centroids={out}/ivf.npy",
+            f"output={out}/codes_db.npz", "verbose=false",
+        ] + profile))
+        codes = np.load(out / "codes_db.part_0.npz")["codes"]
+        report["encode_db_vecs_per_s"] = round(
+            args.db_size / report["phases"]["encode_db"], 1
+        )
+
+    # 4. Build index
+    if not (out / "index.qivf").exists():
+        phase("build_index", lambda: run_qinco.main([
+            "task=build_index", f"trainset={out}/train.npy",
+            f"ivf_centroids={out}/ivf.npy",
+            f"encoded_trainset={out}/codes_train.npz",
+            f"encoded_db={out}/codes_db.npz",
+            f"output={out}/index.qivf", "ds.valset=10000", "verbose=true",
+        ]))
+
+    # 5. Validations: HNSW-vs-exact coarse recall + int8 norm error
+    def validations():
+        import jax.numpy as jnp
+
+        from qinco_tpu.search.index import HnswQuantizer, coarse_probe
+
+        cents = np.load(out / "ivf.npy")
+        queries = np.load(out / "queries.npy")[:1024]
+        exact_idx, _ = coarse_probe(queries, cents, 16)
+        t0 = time.perf_counter()
+        hnsw = HnswQuantizer.build(cents)
+        report["hnsw_build_s"] = round(time.perf_counter() - t0, 2)
+        hnsw_rec = {}
+        for ef in (16, 64, 256):
+            hidx, _ = hnsw.search(queries, 16, ef=ef)
+            # fraction of exact top-16 lists found by HNSW
+            hit = np.mean([
+                len(set(a) & set(b)) / 16.0
+                for a, b in zip(exact_idx, hidx)
+            ])
+            hnsw_rec[str(ef)] = round(float(hit), 4)
+        report["hnsw_vs_exact_coarse_recall@16"] = hnsw_rec
+        log(f"HNSW coarse recall@16 by efSearch: {hnsw_rec}")
+
+        # int8 norm-quantization error, simulated with the native
+        # quantizer's affine contract (native/ivf_index.cpp train_norm:
+        # 255 levels over the [min, max] training range)
+        codes = np.load(out / "codes_db.part_0.npz")["codes"][:200_000]
+        from qinco_tpu.search.index import IvfIndex
+        from qinco_tpu.ops.aq import reconstruct_from_codebooks
+
+        index = IvfIndex.load(str(out / "index.qivf"))
+        recons = reconstruct_from_codebooks(codes[:, 1:], index.codebooks)
+        norms = (recons ** 2).sum(-1)
+        lo, hi = norms.min(), norms.max()
+        q = np.round((norms - lo) / max(hi - lo, 1e-20) * 255.0)
+        deq = q / 255.0 * (hi - lo) + lo
+        rel = np.abs(deq - norms) / np.maximum(norms.mean(), 1e-9)
+        report["int8_norm_rel_err"] = {
+            "mean": float(rel.mean()), "p99": float(np.quantile(rel, 0.99))
+        }
+        log(f"int8 norm relative error: mean={rel.mean():.2e} "
+            f"p99={np.quantile(rel, 0.99):.2e}")
+
+    phase("validations", validations)
+
+    # 6. Search sweep (TPU coarse + native scan)
+    def search_sweep(cpu: bool):
+        suffix = "_cpu" if cpu else ""
+        cmd = [
+            "task=search", f"model={out}/model.npz",
+            f"ivf_centroids={out}/ivf.npy", f"index={out}/index.qivf",
+            f"queries={out}/queries.npy", f"queries_gt={out}/gt.npy",
+            f"output={out}/results{suffix}.json",
+            "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
+            "search.nmid_short=[1]", "search.quantizer_efSearch=[]",
+            "verbose=true",
+        ]
+        if cpu:
+            cmd += ["cpu=true", "search.nthreads=0"]
+        run_qinco.main(cmd)
+        res = json.loads((out / f"results{suffix}.json").read_text())
+        report[f"operating_points{suffix}"] = [
+            {"parameters": r["parameters"], "R@1": r["recalls"]["1"],
+             "R@10": r["recalls"]["10"], "R@100": r["recalls"]["100"],
+             "t_total": r["t_total"]}
+            for r in res["ivf_real_res"]
+        ]
+        return res
+
+    res = phase("search_sweep", lambda: search_sweep(False))
+    if args.cpu_search:
+        phase("search_sweep_cpu", lambda: search_sweep(True))
+
+    # 7. Pareto-prior ordering check: do the first-k explored points hit
+    # the measured recall/time frontier? (VERDICT r1 #4)
+    def pareto_check(res):
+        pts = [
+            (r["recalls"]["1"], r["t_total"], i)
+            for i, r in enumerate(res["ivf_real_res"])
+        ]
+        frontier = set()
+        for rec, t, i in pts:
+            dominated = any(
+                (r2 >= rec and t2 <= t and (r2 > rec or t2 < t))
+                for r2, t2, _ in pts
+            )
+            if not dominated:
+                frontier.add(i)
+        k = max(3, len(frontier))
+        first_k = set(range(min(k, len(pts))))
+        hit = len(frontier & first_k) / max(len(frontier), 1)
+        report["pareto_prior"] = {
+            "frontier_size": len(frontier),
+            "frontier_indices_in_explore_order": sorted(frontier),
+            "first_k_hit_fraction": round(hit, 3),
+        }
+        log(f"Pareto frontier {sorted(frontier)}; "
+            f"first-{k} explored hit {hit * 100:.0f}% of it")
+
+    pareto_check(res)
+
+    (out / "scale_report.json").write_text(json.dumps(report, indent=2))
+    log(f"report written to {out}/scale_report.json")
+    print(json.dumps({k: v for k, v in report.items() if k != "config"},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()

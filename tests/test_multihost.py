@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 WORKER = Path(__file__).parent / "multihost_worker.py"
 
 

@@ -300,3 +300,21 @@ def test_coarse_probe_bias_is_exact():
     idx, bias = coarse_probe(xq, cent, 4)
     ref = ((xq[:, None, :] - cent[idx]) ** 2).sum(-1)
     np.testing.assert_allclose(bias, ref, rtol=1e-5)
+
+
+def test_pair_unpair_codes_roundtrip():
+    from qinco_tpu.search.index_build import pair_codes_ivf, unpair_codes_ivf
+
+    rng = np.random.default_rng(5)
+    K, M = 16, 6
+    codes = np.concatenate(
+        [
+            rng.integers(0, 1000, size=(200, 1)),
+            rng.integers(0, K, size=(200, M)),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    paired = pair_codes_ivf(codes, K)
+    assert paired.shape == (200, M // 2 + 1)
+    assert paired[:, 1:].max() < K * K
+    np.testing.assert_array_equal(unpair_codes_ivf(paired, K), codes)

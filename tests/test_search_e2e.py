@@ -10,6 +10,8 @@ import pytest
 
 import run_qinco
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):
@@ -178,3 +180,44 @@ def test_flat_search(pipeline):
         ]
     )
     assert rc == 0 or rc is None
+
+
+def test_pair_codes_index_and_search(pipeline):
+    """K -> K² code-paired index (reference: pair_codes_ivf,
+    search_tasks.py:145-164): rebuild the index with pair_codes=true and
+    check search recall still holds."""
+    tmp = pipeline["tmp"]
+    if not (tmp / "codes_db.npz").exists():
+        pytest.skip("requires artifacts from test_full_ivf_pipeline")
+
+    run_qinco.main(
+        [
+            "task=build_index", f"trainset={tmp}/train.npy",
+            f"ivf_centroids={tmp}/ivf.npy",
+            f"encoded_trainset={tmp}/codes_train.npz",
+            f"encoded_db={tmp}/codes_db.npz",
+            f"output={tmp}/index_paired.qivf", "ds.valset=500",
+            "search.pair_codes=true", "verbose=false",
+        ]
+    )
+    run_qinco.main(
+        [
+            "task=search", f"model={tmp}/model.npz",
+            f"ivf_centroids={tmp}/ivf.npy",
+            f"index={tmp}/index_paired.qivf",
+            f"queries={tmp}/queries.npy", f"queries_gt={tmp}/gt.npy",
+            f"output={tmp}/results_paired.json",
+            "search.nprobe=[32]", "search.nshort=[100]",
+            "search.nmid_short=[1]", "search.quantizer_efSearch=[]",
+            "search.pair_codes=true",
+            "batch=512", "search.batch_size=512", "verbose=false",
+        ]
+    )
+    results = json.loads((tmp / "results_paired.json").read_text())
+    res = results["ivf_real_res"]
+    assert res, "no experiments ran"
+    # the paired index stores M/2 codes of K^2 entries; recall must match
+    # the unpaired pipeline's quality on this easy synthetic set
+    assert max(r["recalls"]["100"] for r in res) > 0.95, [
+        r["recalls"] for r in res
+    ]

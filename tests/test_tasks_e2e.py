@@ -10,6 +10,8 @@ import pytest
 
 import run_qinco
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def tiny_data(tmp_path_factory):

@@ -287,3 +287,17 @@ def test_encode_stats_ignore_padded_rows():
         np.asarray(s_ref.xtarget_std), np.asarray(s_pad.xtarget_std),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_kmeans_device_streaming_and_mesh():
+    """The streaming (mega-batch) path and the mesh-sharded path must
+    match the resident path (device-side segment-sum M-step, VERDICT r1)."""
+    from qinco_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(4096, 16)).astype(np.float32)
+    a = kmeans(x, 64, iters=4, seed=2)
+    b = kmeans(x, 64, iters=4, seed=2, batch=1000)  # 5 mega-batches
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+    c = kmeans(x, 64, iters=4, seed=2, mesh=make_mesh())
+    np.testing.assert_allclose(a, c, rtol=1e-3, atol=1e-3)
