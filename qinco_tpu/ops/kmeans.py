@@ -4,8 +4,15 @@ Replaces both faiss.Kmeans (reference: qinco/search/search_tasks.py:67-77)
 and the torch Lloyd loop used for RQ initialization (reference:
 qinco/vrq.py:22-88).  TPU-first: assignment is a chunked matmul argmin
 (MXU), the centroid update is an unsorted-segment-sum — both static-shape
-and jittable; the iteration count is a host loop so huge trainsets can
-stream through device memory.
+and jittable.
+
+The streaming path (N > ``batch``) is fully device-side: each
+mega-batch is one XLA dispatch that scans row-chunks, assigning and
+accumulating (sums, counts) on device — the round-1 implementation did
+per-batch host ``np.add.at`` scatter-adds on a (K, D) float64 buffer,
+which at 2^20 × 50M × 100 iterations is hopelessly host-bound.  An
+optional ``mesh`` shards the row-chunks over the data axis (XLA turns
+the segment-sums into partial sums + an ICI all-reduce).
 
 Reference semantics kept:
 - init: uniform random in [0,1) scaled by per-dim std + mean
@@ -25,6 +32,11 @@ import numpy as np
 
 from .distances import chunked_argmin
 
+# Element budget for the (rows × chunk) distance matrix of one inner
+# assignment step (f32): 2^27 elements = 512 MB.  The reference's analog
+# is IVF_BS_MAX (qinco_base.py:131).
+DIST_BUDGET_ELEMS = 2**27
+
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def assign_codes(x: jnp.ndarray, centroids: jnp.ndarray, chunk: int = 65536):
@@ -33,19 +45,41 @@ def assign_codes(x: jnp.ndarray, centroids: jnp.ndarray, chunk: int = 65536):
     return codes
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def _update_centroids(x, codes, K, key, fill_mean, fill_std):
-    """One Lloyd M-step with empty-cluster refill."""
-    D = x.shape[1]
-    sums = jax.ops.segment_sum(x, codes, num_segments=K)
-    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), codes, K)
+@functools.partial(jax.jit, static_argnames=("K", "chunk"))
+def _accumulate_megabatch(x3, w3, centroids, sums, counts, K: int, chunk: int):
+    """Assign + accumulate one mega-batch, fully on device.
+
+    ``x3 (n_chunks, rows, D)``, ``w3 (n_chunks, rows)`` validity weights.
+    Padded rows are routed to sentinel segment K (sums/counts carry K+1
+    rows; the extra row is dropped at finalize).
+    """
+
+    def body(carry, xs):
+        sums, counts = carry
+        xb, wb = xs
+        codes, _ = chunked_argmin(xb, centroids, chunk=chunk)
+        codes = jnp.where(wb > 0, codes, K)
+        sums = sums + jax.ops.segment_sum(
+            xb * wb[:, None], codes, num_segments=K + 1
+        )
+        counts = counts + jax.ops.segment_sum(wb, codes, num_segments=K + 1)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(body, (sums, counts), (x3, w3))
+    return sums, counts
+
+
+@jax.jit
+def _finalize_centroids(sums, counts, key, fill_mean, fill_std):
+    """M-step with empty-cluster refill (reference: vrq.py:71-73).
+    ``sums``/``counts`` carry the K+1 sentinel row, dropped here."""
+    sums, counts = sums[:-1], counts[:-1]
+    K, D = sums.shape
     empty = counts < 0.5
-    refill = (
-        jax.random.uniform(key, (K, D), jnp.float32) * fill_std + fill_mean
-    )
+    refill = jax.random.uniform(key, (K, D), jnp.float32) * fill_std + fill_mean
     sums = sums + refill * empty[:, None]
-    counts = jnp.maximum(counts, 1.0)
-    return sums / counts[:, None], counts
+    counts_c = jnp.maximum(counts, 1.0)
+    return sums / counts_c[:, None], counts
 
 
 def kmeans(
@@ -58,11 +92,16 @@ def kmeans(
     chunk: int = 65536,
     init_centroids: np.ndarray | None = None,
     verbose: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Train K centroids on ``x (N, D)``; returns (K, D) float32.
 
-    Streams ``x`` through the device in ``batch``-row slices, so N can
-    exceed device memory; per-batch partial sums accumulate on host.
+    Streams ``x`` through the device in ``batch``-row mega-batches (one
+    dispatch each), so N can exceed device memory; (sums, counts) live
+    on device across the whole iteration.  With ``mesh`` the row-chunks
+    shard over the ``data`` axis (single-process meshes only — on
+    multi-process runs every host computes the full reduction
+    redundantly, which keeps them in lockstep without collectives).
     """
     x = np.asarray(x, np.float32)
     N, D = x.shape
@@ -78,31 +117,67 @@ def kmeans(
         key, k0 = jax.random.split(key)
         centroids = jax.random.uniform(k0, (K, D), jnp.float32) * std + mean
 
-    # keep the data resident on device across iterations
-    x_dev = jnp.asarray(x) if N <= batch else None
+    chunk_eff = min(chunk, K)
+    # rows per inner assignment step under the distance-matrix budget
+    rows = int(max(256, min(batch, DIST_BUDGET_ELEMS // chunk_eff)))
+    rows = min(rows, N)
+    if mesh is not None:
+        # row axis shards over 'data': round UP (padding covers the rest)
+        rows = _ceil_to(rows, mesh.shape.get("data", 1))
+
+    def put(arr3, w3):
+        if mesh is None:
+            return jnp.asarray(arr3), jnp.asarray(w3)
+        from ..parallel.mesh import shard_stacked_batch
+
+        # (n_chunks, rows, D): shard the row axis (axis 1) like stacked
+        # micro-batches; the scan axis stays unsharded.
+        return shard_stacked_batch(mesh, arr3), shard_stacked_batch(mesh, w3)
+
+    # Pre-pack mega-batches once (reused every iteration): list of
+    # (x3 (n_chunks, rows, D), w3) device arrays if they fit, else
+    # re-uploaded per iteration via the same packing.
+    # Keep the data device-resident when it fits (re-uploading per
+    # iteration costs N·D·4 bytes of host->device traffic × iters; on
+    # remote transports that dominates wall-clock).  16 GB HBM minus
+    # centroids + sums + the distance-matrix working set leaves ~6 GB.
+    resident_budget = 6 * 2**30
+    resident = N * D * 4 <= resident_budget
+    packed = []
+
+    def pack(lo, hi):
+        xb = x[lo:hi]
+        nb = len(xb)
+        n_chunks = -(-nb // rows)
+        pad = n_chunks * rows - nb
+        w = np.ones((nb,), np.float32)
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad, D), np.float32)])
+            w = np.concatenate([w, np.zeros((pad,), np.float32)])
+        return xb.reshape(n_chunks, rows, D), w.reshape(n_chunks, rows)
+
+    bounds = [(lo, min(N, lo + batch)) for lo in range(0, N, batch)]
+    if resident:
+        packed = [put(*pack(lo, hi)) for lo, hi in bounds]
 
     for it in range(iters):
         key, kf = jax.random.split(key)
-        if N <= batch:
-            codes = assign_codes(x_dev, centroids, chunk=chunk)
-            centroids, counts = _update_centroids(
-                x_dev, codes, K, kf, mean, std
+        sums = jnp.zeros((K + 1, D), jnp.float32)
+        counts = jnp.zeros((K + 1,), jnp.float32)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            sums, counts = replicate(mesh, sums), replicate(mesh, counts)
+        mega = packed if resident else (put(*pack(lo, hi)) for lo, hi in bounds)
+        for x3, w3 in mega:
+            sums, counts = _accumulate_megabatch(
+                x3, w3, centroids, sums, counts, K, chunk_eff
             )
-        else:
-            sums = np.zeros((K, D), np.float64)
-            counts_np = np.zeros((K,), np.int64)
-            for i in range(0, N, batch):
-                xb = jnp.asarray(x[i : i + batch])
-                codes = np.asarray(assign_codes(xb, centroids, chunk=chunk))
-                np.add.at(counts_np, codes, 1)
-                np.add.at(sums, codes, x[i : i + batch].astype(np.float64))
-            empty = counts_np < 1
-            refill = np.asarray(
-                jax.random.uniform(kf, (K, D), jnp.float32) * std + mean
-            )
-            sums[empty] = refill[empty]
-            counts_np = np.maximum(counts_np, 1)
-            centroids = jnp.asarray((sums / counts_np[:, None]).astype(np.float32))
+        centroids, _ = _finalize_centroids(sums, counts, kf, mean, std)
         if verbose:
             print(f"kmeans iter {it + 1}/{iters}")
     return np.asarray(centroids)
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m

@@ -19,6 +19,29 @@ from .index import IvfIndex
 ADD_BATCH = 1_000_000  # reference: search_tasks.py:245
 
 
+def pair_codes_ivf(codes: np.ndarray, K: int) -> np.ndarray:
+    """Combine code pairs (m, m + M/2) into one K²-ary code
+    (reference: pair_codes_ivf, search_tasks.py:145-151).
+
+    ``codes (n, M+1)`` with the IVF code in column 0 -> ``(n, M/2+1)``.
+    Halves the per-code scan cost of the inverted lists at the price of
+    K²-entry AQ codebooks.
+    """
+    ivf, rest = codes[:, :1], codes[:, 1:]
+    M = rest.shape[-1]
+    assert M % 2 == 0, f"pair_codes needs an even M, got {M}"
+    rest = rest.reshape(-1, 2, M // 2)
+    paired = rest[:, 0] * K + rest[:, 1]
+    return np.concatenate([ivf, paired], axis=-1)
+
+
+def unpair_codes_ivf(codes: np.ndarray, K: int) -> np.ndarray:
+    """Inverse of :func:`pair_codes_ivf`: ``(n, M/2+1) -> (n, M+1)``."""
+    ivf, paired = codes[:, :1], codes[:, 1:]
+    first, second = paired // K, paired % K
+    return np.concatenate([ivf, first, second], axis=-1)
+
+
 def build_index_training_phase(
     cfg, ivf_centroids: np.ndarray, vec_data: np.ndarray,
     encoded_data: np.ndarray, log=print,
@@ -26,6 +49,17 @@ def build_index_training_phase(
     """Fit AQ codebooks on IVF residuals and assemble an empty index."""
     timer = Timer()
     K = cfg.K
+    if cfg.search.pair_codes:
+        # K -> K² combined codes.  The native lists store 1-byte codes,
+        # so K² must fit uint8 (the reference's faiss path would pack
+        # 16-bit codes, but its dense-lstsq AQ fit is equally intractable
+        # at K=256: a 1M × 131k design matrix).
+        assert K * K <= 256, (
+            f"pair_codes requires K² <= 256 (got K={K}); use K <= 16"
+        )
+        log(f"[{timer}] Pairing training codes: K {K} -> {K * K}")
+        K = K * K
+        encoded_data = pair_codes_ivf(encoded_data, cfg.K)
     with timer:
         assert vec_data.dtype == np.float32
         max_nt = min(len(vec_data), cfg.search.aq_training_samples)
@@ -58,6 +92,8 @@ def build_index_adding_phase(cfg, encoded_db, index: IvfIndex, log=print) -> Non
     with timer:
         codebooks = index.codebooks
         for batch in encoded_db.iter(ADD_BATCH):
+            if cfg.search.pair_codes:
+                batch = pair_codes_ivf(batch, cfg.K)
             assert batch.shape[1] == index.M + 1
             recons = reconstruct_from_codebooks(batch[:, 1:], codebooks)
             norms = (recons**2).sum(-1)

@@ -173,8 +173,16 @@ def run_search_ivf(task):
                 xq, n_short_ivf, nprobe=nprobe,
                 nthreads=cfg.search.nthreads,
             )
-        codes_int32 = codes.reshape(n_short_ivf * nq, M + 1)
+        codes_int32 = codes.reshape(n_short_ivf * nq, index.M + 1)
         codes_int32[:, 0] = np.clip(codes_int32[:, 0], 0, index.nlist - 1)
+        if index.M * 2 == M and index.K == cfg.K**2:
+            # Code-paired index (K -> K², M -> M/2): restore original
+            # K-ary codes for the QINCo/pairwise decoders
+            # (reference pairing: search_tasks.py:145-151).
+            from .index_build import unpair_codes_ivf
+
+            codes_int32 = unpair_codes_ivf(codes_int32, cfg.K)
+        assert codes_int32.shape[1] == M + 1
 
         # Part 3: pairwise mid-rerank nmid -> nshort
         if nshort < n_short_ivf and mid_reranker is not None:

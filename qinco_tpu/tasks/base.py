@@ -223,7 +223,14 @@ class BaseTask:
 
 
 def get_task(name: str):
-    from . import train_task, eval_task, convert_task, search_tasks, pq_task
+    from . import (
+        codec_task,
+        convert_task,
+        eval_task,
+        pq_task,
+        search_tasks,
+        train_task,
+    )
 
     registry = {
         "train": train_task.TrainTask,
@@ -238,6 +245,9 @@ def get_task(name: str):
         "search": search_tasks.SearchTask,
         "train_pq": pq_task.PQTrainTask,
         "eval_pq": pq_task.PQEvalTask,
+        "encode_codec": codec_task.EncodeCodecTask,
+        "decode_codec": codec_task.DecodeCodecTask,
+        "search_2stage": codec_task.TwoStageSearchTask,
     }
     if name not in registry:
         raise ValueError(f"Unknown task {name!r}; available: {sorted(registry)}")

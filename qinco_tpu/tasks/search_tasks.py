@@ -43,8 +43,12 @@ class IVFTrainTask(BaseSearchTask):
     def run(self):
         cfg = self.cfg
         x = np.asarray(self.train_vecs, np.float32)
+        # Data-parallel over the mesh on single-process runs; multi-process
+        # hosts would need per-host data slices (kmeans docstring).
+        mesh = self.mesh if self.process_count == 1 else None
         centroids = kmeans(
-            x, int(cfg.ivf_K), iters=100, seed=cfg.seed, verbose=cfg.verbose
+            x, int(cfg.ivf_K), iters=100, seed=cfg.seed, verbose=cfg.verbose,
+            mesh=mesh,
         )
         self.print(f"Storing IVF centroids to {cfg.output}")
         np.save(cfg.output, centroids)
