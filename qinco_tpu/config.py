@@ -171,6 +171,7 @@ def apply_dataset_preset(cfg: Config) -> None:
     (reference: qinco/qinco_tasks.py:360-371)."""
     presets = cfg._tree.get("default_datasets", {})
     if cfg.db in presets:
+        cfg.db_name = cfg.db  # keep the symbolic name (v1 norm lookup)
         ds_preset = presets[cfg.db]
         for key, val in ds_preset.items():
             if key == "limit_db":

@@ -194,3 +194,78 @@ def test_convert_task_cli_roundtrip(tmp_path):
     with torch.no_grad():
         want = model(torch.from_numpy(codes.astype(np.int64)), step="decode").numpy()
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_v1_era_checkpoint_uses_dataset_norms(tmp_path):
+    """QINCo1-era checkpoints carry no data_mean/std and use the v1 module
+    layout (in/out proj inside residual_blocks, stray step-0 substep
+    codebook); `db=` pulls the reference's per-dataset normalization
+    tables (qinco_tasks.py:509-560)."""
+    import run_qinco
+    import jax
+    import jax.numpy as jnp
+
+    from qinco_tpu.checkpoint import load_checkpoint
+    from qinco_tpu.models.params import init_model_state, init_params
+    from qinco_tpu.models.qinco import decode_raw
+    from qinco_tpu.models.spec import QincoSpec
+    from qinco_tpu.tasks.convert_task import v1_dataset_norms
+
+    D, K, M, L, de, dh = 128, 16, 3, 2, 8, 12  # bigann dims
+    rng = np.random.default_rng(3)
+    f32 = lambda *s: torch.from_numpy(rng.standard_normal(s).astype(np.float32))
+
+    sd = {"steps.0.codebook.weight": f32(K, D),
+          "steps.0.substep.codebook.weight": f32(K, D)}  # v1 stray key
+    for m in range(1, M):
+        sd[f"steps.{m}.codebook.weight"] = f32(K, D)
+        sd[f"steps.{m}.concat.mlp.weight"] = f32(de, de + D)
+        sd[f"steps.{m}.concat.mlp.bias"] = f32(de)
+        # v1 layout: projections nested inside residual blocks
+        sd[f"steps.{m}.residual_blocks.0.in_proj.weight"] = f32(de, D)
+        sd[f"steps.{m}.residual_blocks.0.out_proj.weight"] = f32(D, de)
+        for l in range(L):
+            sd[f"steps.{m}.residual_blocks.{l}.up_proj.weight"] = f32(dh, de)
+            sd[f"steps.{m}.residual_blocks.{l}.down_proj.weight"] = f32(de, dh)
+
+    pt_path = tmp_path / "v1.pt"
+    torch.save(
+        {
+            "epoch": 7,
+            "model": sd,
+            "parameters": {
+                "K": K, "M": M, "de": de, "dh": dh, "L": L, "A": 0, "B": 1,
+                "ivf_in_use": False, "qinco1_mode": True,
+            },
+        },
+        str(pt_path),
+    )
+
+    out = tmp_path / "v1.npz"
+    rc = run_qinco.main(
+        ["task=convert", f"model={pt_path}", f"output={out}",
+         "db=bigann1B", "verbose=false"]
+    )
+    assert rc == 0 or rc is None
+
+    spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=0, B=1,
+                     qinco1_mode=True)
+    restored = load_checkpoint(
+        out,
+        params_template=init_params(jax.random.PRNGKey(0), spec),
+        mstate_template=init_model_state(spec),
+    )
+    params = restored["params"]
+
+    dim, mean, std = v1_dataset_norms("bigann1B")
+    assert dim == D
+    np.testing.assert_allclose(np.asarray(params.data_mean), mean)
+    np.testing.assert_allclose(float(params.data_std), std)
+    # the renamed projections landed where decode expects them
+    np.testing.assert_allclose(
+        np.asarray(params.steps.in_proj[0]),
+        sd["steps.1.residual_blocks.0.in_proj.weight"].T, rtol=1e-6)
+
+    codes = rng.integers(0, K, size=(M, 8)).astype(np.int32)
+    rec = np.asarray(decode_raw(params, spec, jnp.asarray(codes)))
+    assert np.isfinite(rec).all()
