@@ -19,8 +19,9 @@ TPU-first design decisions:
 - **f32 accumulation** on every matmul (``preferred_element_type``), with
   optional bf16 activations for the MLP (spec.compute_dtype).
 - The code-history "repeat_interleave + gather" of the reference
-  (qinco_inference.py:207-210) becomes a single broadcasted
-  ``take_along_axis`` permutation of the whole (M, N, F) history buffer.
+  (qinco_inference.py:207-210) disappears entirely: each step records
+  (codes, parent beam) and one O(M·N) reverse backtrace after the scan
+  recovers the winning beam's history.
 """
 
 from __future__ import annotations
@@ -160,19 +161,31 @@ def _beam_step(
     p: StepParams,
     x: jnp.ndarray,  # (N, D) target
     xhat: jnp.ndarray,  # (N, F_in, D)
-    hist: jnp.ndarray,  # (M_ivf, N, F_in) code history (rows >= m are zeros)
-    m,  # step row to write (int or traced)
     F_out: int,
     n_codes: int,
     w: Optional[jnp.ndarray] = None,  # (N,) padding mask for the EMA stats
+    want_stats: bool = True,
 ):
-    """One beam-search step (reference: qinco_base.py:292-374)."""
+    """One beam-search step (reference: qinco_base.py:292-374).
+
+    Returns ``(xhat_next, real, f_in_idx, (t_mean, t_std))`` where
+    ``real (N, F_out)`` are the selected codebook ids and ``f_in_idx
+    (N, F_out)`` the parent beam of each selection — the caller
+    backtraces the code history once at the end instead of permuting a
+    full (M, N, F) buffer every step (that gather was ~1.3 ms/step)."""
     N, F_in, D = xhat.shape
     NF = N * F_in
     xh = xhat.reshape(NF, D)
     x_f = jnp.broadcast_to(x[:, None, :], (N, F_in, D)).reshape(NF, D)
 
     if spec.has_substep():
+        if _fused_substep_ok(spec, n_codes):
+            # Selection fused into the scoring kernel (binned argmin);
+            # no (NF, K) distance matrix or (NF, A) id array ever
+            # materializes in HBM.
+            return _beam_step_fused(
+                spec, p, x, xhat, F_out, n_codes, None, w, want_stats
+            )
         # Substep pre-selection: top n_codes fixed-codebook candidates for
         # the residual (reference: qinco_base.py:114-121).
         sub_d = pairwise_sqdist_partial(x_f - xh, p.sub_codebook)  # (NF, K)
@@ -182,7 +195,7 @@ def _beam_step(
             top_idx, _ = topk_smallest(sub_d, n_codes)  # (NF, n)
         if spec.pallas:
             return _beam_step_fused(
-                spec, p, x, xhat, hist, m, F_out, n_codes, top_idx, w
+                spec, p, x, xhat, F_out, n_codes, top_idx, w, want_stats
             )
         if spec.fast:
             # One-hot matmul rides the MXU; the gather unit is ~2x slower
@@ -215,15 +228,33 @@ def _beam_step(
     else:
         real = sel % spec.K
 
-    # Permute the *whole* history along the beam axis, then append.
-    hist = jnp.take_along_axis(hist, f_in_idx[None], axis=2)
-    hist = hist.at[m].set(real.astype(jnp.int32))
-
     xhat_next = jnp.take_along_axis(flat, sel[..., None], axis=1)  # (N, F_out, D)
 
+    t_mean, t_std = _maybe_target_stats(spec, x, xhat, w, want_stats)
+    return (xhat_next, real.astype(jnp.int32), f_in_idx.astype(jnp.int32),
+            (t_mean, t_std))
+
+
+def _maybe_target_stats(spec, x, xhat, w, want_stats):
+    """EncodeStats are a training-only product (they feed the EMA buffers
+    for dead-code resets); inference encodes skip the (N, F, D) residual
+    reduction entirely."""
+    if not want_stats:
+        z = jnp.zeros((x.shape[-1],), jnp.float32)
+        return z, z
     x_target = x[:, None, :] - xhat  # (N, F_in, D)
-    t_mean, t_std = _target_stats(x_target, w)
-    return xhat_next, hist, (t_mean, t_std)
+    return _target_stats(x_target, w)
+
+
+def _fused_substep_ok(spec: QincoSpec, n_codes: int) -> bool:
+    return (
+        spec.pallas
+        and spec.fused_substep
+        and 0 < n_codes <= spec.K <= 256
+        and spec.K % n_codes == 0
+        and spec.K & (spec.K - 1) == 0
+        and n_codes & (n_codes - 1) == 0
+    )
 
 
 def _beam_step_fused(
@@ -231,16 +262,18 @@ def _beam_step_fused(
     p: StepParams,
     x: jnp.ndarray,  # (N, D)
     xhat: jnp.ndarray,  # (N, F_in, D)
-    hist: jnp.ndarray,  # (M_ivf, N, F_in)
-    m,
     F_out: int,
     n_codes: int,
-    top_idx: jnp.ndarray,  # (NF, n_codes) substep pre-selection
+    top_idx,  # (NF, n_codes) substep pre-selection | None (fused substep)
     w: Optional[jnp.ndarray] = None,
+    want_stats: bool = True,
 ):
     """Pallas-kernel beam step: score all F·A candidates on-chip, then
     recompute reconstructions for only the F_out selected beams."""
-    from ..ops.pallas_kernels import candidate_scores_pallas
+    from ..ops.pallas_kernels import (
+        candidate_scores_pallas,
+        fused_substep_scores_pallas,
+    )
 
     N, F_in, D = xhat.shape
     NF = N * F_in
@@ -252,22 +285,48 @@ def _beam_step_fused(
     # (the fused MLP runs on R*A rows); keep R*A <= 4096 — 8192 was
     # observed to overflow the 16MB scoped-vmem limit by a hair.
     row_tile = max(8, min(512, 4096 // n_codes, _round_up_pow2(NF)))
-    dists_fa = candidate_scores_pallas(
-        spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w,
-        p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,
-        row_tile=row_tile,
-        interpret=interpret,
-    )  # (NF, A) full squared distances
+    if top_idx is None:
+        pack_ids = True
+        # Pass per-vector targets when the beam count divides the row
+        # tile (the kernel broadcasts in VMEM); the (NF, D) broadcast
+        # never reaches HBM.
+        beams = F_in if row_tile % F_in == 0 else 1
+        dists_fa = fused_substep_scores_pallas(
+            spec, x if beams > 1 else x_f, xh, p.sub_codebook, p.codebook,
+            p.in_proj, p.concat_w, p.concat_w2, p.concat_b, p.ffn_up,
+            p.ffn_down, p.out_proj,
+            n_codes=n_codes,
+            beams=beams,
+            row_tile=row_tile,
+            interpret=interpret,
+        )
+    else:
+        pack_ids = spec.K <= 256
+        dists_fa = candidate_scores_pallas(
+            spec, x_f, xh, top_idx, p.codebook, p.in_proj, p.concat_w,
+            p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,
+            row_tile=row_tile,
+            interpret=interpret,
+            pack_ids=pack_ids,
+        )  # (NF, A) full squared distances
 
     A_eff = n_codes
     dists = dists_fa.reshape(N, F_in * A_eff)
-    sel, _ = topk_smallest(dists, F_out)  # (N, F_out)
+    sel, vals = topk_smallest(dists, F_out)  # (N, F_out)
 
     f_in_idx = sel // A_eff
-    real = jnp.take_along_axis(top_idx.reshape(N, F_in * A_eff), sel, axis=1)
-
-    hist = jnp.take_along_axis(hist, f_in_idx[None], axis=2)
-    hist = hist.at[m].set(real.astype(jnp.int32))
+    if pack_ids:
+        # The kernel packed each candidate's codebook id into the low 8
+        # mantissa bits of its distance — read the winners' ids straight
+        # out of the top-k values (the (NF, A) id gather it replaces was
+        # a padded-lane relayout costing ~2.5 ms/step).
+        real = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
+        )
+    else:
+        real = jnp.take_along_axis(
+            top_idx.reshape(N, F_in * A_eff), sel, axis=1
+        )
 
     # Recompute reconstructions for the selected beams only (F_out << F·A).
     xh_sel = jnp.take_along_axis(xhat, f_in_idx[..., None], axis=1)  # (N,F_out,D)
@@ -278,9 +337,9 @@ def _beam_step_fused(
     )  # (NB, 1, D)
     xhat_next = (pred[:, 0] + xh_sel.reshape(NB, D)).reshape(N, F_out, D)
 
-    x_target = x[:, None, :] - xhat
-    t_mean, t_std = _target_stats(x_target, w)
-    return xhat_next, hist, (t_mean, t_std)
+    t_mean, t_std = _maybe_target_stats(spec, x, xhat, w, want_stats)
+    return (xhat_next, real.astype(jnp.int32), f_in_idx.astype(jnp.int32),
+            (t_mean, t_std))
 
 
 def _round_up_pow2(n: int) -> int:
@@ -290,18 +349,21 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "ivf_chunk"))
+@functools.partial(jax.jit, static_argnames=("spec", "ivf_chunk", "want_stats"))
 def encode(
     params: QincoParams,
     spec: QincoSpec,
     x: jnp.ndarray,
     ivf_chunk: int = 65536,
     weights: Optional[jnp.ndarray] = None,
+    want_stats: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
     """Beam-search encode ``x (N, D)`` (normalized space).
 
     ``weights (N,)`` optionally masks zero-padded rows out of the
     EncodeStats (training passes its padding mask; eval leaves it None).
+    ``want_stats=False`` (inference) skips the EncodeStats reductions and
+    returns zeros in their place.
     Returns (codes (M_ivf, N) int32, xhat (N, D), EncodeStats).
     """
     # ---- step 0: plain codebook assignment --------------------------------
@@ -316,7 +378,9 @@ def encode(
     else:
         codes0, _ = sqdist_topk(x, params.codebook0, spec.beam0)  # (N, beam0)
     xhat = params.codebook0[codes0].astype(jnp.float32)  # (N, F0, D)
-    return encode_from_coarse(params, spec, x, codes0, xhat, weights)
+    return encode_from_coarse(
+        params, spec, x, codes0, xhat, weights, want_stats=want_stats
+    )
 
 
 def encode_from_coarse(
@@ -326,6 +390,7 @@ def encode_from_coarse(
     codes0: jnp.ndarray,  # (N, F0) step-0 assignment
     xhat: jnp.ndarray,  # (N, F0, D) step-0 reconstruction
     weights: Optional[jnp.ndarray] = None,
+    want_stats: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, EncodeStats]:
     """The MLP beam-search phases given an externally computed step-0
     assignment — entry point for custom coarse quantizers (e.g. the
@@ -333,19 +398,16 @@ def encode_from_coarse(
     N, D = x.shape
     Ms = spec.n_mlp_steps
 
-    hist = jnp.zeros((spec.M_ivf, N, codes0.shape[1]), jnp.int32)
-    hist = hist.at[0].set(codes0.astype(jnp.int32))
-
     if Ms == 0:
-        return hist[:, :, 0], xhat[:, 0], EncodeStats(
+        return codes0[:, 0][None].astype(jnp.int32), xhat[:, 0], EncodeStats(
             jnp.zeros((0, D)), jnp.ones((0, D))
         )
 
     # ---- first MLP step: expands the beam F0 -> B (specialized shapes) ----
     p0 = jax.tree.map(lambda a: a[0], params.steps)
-    xhat, hist, (m0, s0) = _beam_step(
-        spec, p0, x, xhat, hist, 1, F_out=spec.B, n_codes=spec.n_codes_at(0),
-        w=weights,
+    xhat, real1, par1, (m0, s0) = _beam_step(
+        spec, p0, x, xhat, F_out=spec.B, n_codes=spec.n_codes_at(0),
+        w=weights, want_stats=want_stats,
     )
 
     # ---- remaining MLP steps: uniform scan at beam B ----------------------
@@ -353,25 +415,49 @@ def encode_from_coarse(
         rest = jax.tree.map(lambda a: a[1:], params.steps)
         n_codes = spec.n_codes_at(1)
 
-        def body(carry, p):
-            xhat, hist, m = carry
-            xhat, hist, stats = _beam_step(
-                spec, p, x, xhat, hist, m, F_out=spec.B, n_codes=n_codes,
-                w=weights,
+        def body(xhat, p):
+            xhat, real, par, stats = _beam_step(
+                spec, p, x, xhat, F_out=spec.B, n_codes=n_codes,
+                w=weights, want_stats=want_stats,
             )
-            return (xhat, hist, m + 1), stats
+            return xhat, (real, par, stats)
 
-        (xhat, hist, _), (means, stds) = jax.lax.scan(
-            body, (xhat, hist, jnp.int32(2)), rest
-        )
+        xhat, (reals, pars, (means, stds)) = jax.lax.scan(body, xhat, rest)
         means = jnp.concatenate([m0[None], means])
         stds = jnp.concatenate([s0[None], stds])
     else:
+        reals = pars = None
         means, stds = m0[None], s0[None]
 
-    # Beams are sorted ascending by distance: beam 0 is the argmin the
-    # reference materializes via F_out=1 on the last step.
-    return hist[:, :, 0], xhat[:, 0], EncodeStats(means, stds)
+    # ---- backtrace the winning beam's code history ------------------------
+    # Beams are sorted ascending by distance: beam 0 of the last step is
+    # the argmin the reference materializes via F_out=1 on the last step.
+    # Each step recorded (real codes, parent beam); one reverse walk
+    # recovers beam 0's full history — O(M·N) gathers instead of the
+    # O(M·N·F) history permute the reference does per step
+    # (qinco_inference.py:207-210).
+    beam = jnp.zeros((N,), jnp.int32)
+
+    def bt(beam, rp):
+        real, par = rp
+        code = jnp.take_along_axis(real, beam[:, None], axis=1)[:, 0]
+        prev = jnp.take_along_axis(par, beam[:, None], axis=1)[:, 0]
+        return prev, code
+
+    if reals is not None:
+        beam, codes_rest = jax.lax.scan(bt, beam, (reals, pars), reverse=True)
+    else:
+        codes_rest = None
+    beam, code1 = bt(beam, (real1, par1))
+    code0 = jnp.take_along_axis(
+        codes0.astype(jnp.int32), beam[:, None], axis=1
+    )[:, 0]
+    rows = [code0[None], code1[None]]
+    if codes_rest is not None:
+        rows.append(codes_rest)
+    codes = jnp.concatenate(rows, axis=0)  # (M_ivf, N)
+
+    return codes, xhat[:, 0], EncodeStats(means, stds)
 
 
 def encode_raw(
@@ -514,6 +600,8 @@ def train_forward(
     """Full training forward: normalize, no-grad encode, decode losses
     (reference: qinco_base.py:524-531)."""
     x = (x_raw - params.data_mean) / params.data_std
-    codes, _, stats = encode(jax.lax.stop_gradient(params), spec, x)
+    codes, _, stats = encode(
+        jax.lax.stop_gradient(params), spec, x, want_stats=True
+    )
     total, aux = train_losses(params, spec, x, codes)
     return total, codes, aux, stats

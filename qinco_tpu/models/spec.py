@@ -37,6 +37,13 @@ class QincoSpec:
     # computes per-candidate MLP distances fully on-chip and recomputes
     # reconstructions only for the B selected beams.  Requires A > 0.
     pallas: bool = False
+    # Fuse the substep pre-selection into the scoring kernel as a binned
+    # argmin (best candidate per K/A-wide codeword bin instead of exact
+    # top-A; see ops/pallas_kernels.py:_fused_substep_kernel).  Fastest
+    # encode profile; small MSE cost vs exact top-A since bin collisions
+    # drop some runner-up candidates.  Requires pallas + power-of-2
+    # K <= 256 with A | K.
+    fused_substep: bool = False
 
     # ---- derived sizes ---------------------------------------------------
     @property
@@ -113,4 +120,5 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         compute_dtype=str(cfg.get("compute_dtype", "float32")),
         fast=bool(cfg.get("fast_encode", False)),
         pallas=bool(cfg.get("pallas", False)),
+        fused_substep=bool(cfg.get("fused_substep", False)),
     )

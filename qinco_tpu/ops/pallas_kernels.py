@@ -30,39 +30,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cand_scores_kernel(
+def _mlp_chain(
     spec: QincoSpec,
-    x_ref,  # (R, D) target rows
-    xh_ref,  # (R, D) current reconstruction rows
-    idx_ref,  # (R, A) int32 candidate codebook ids
-    codebook_ref,  # (K, D)
-    in_proj_ref,  # (D, De) or None
-    concat_w_ref,  # (De + D, De) or (De + D, rank)
-    concat_w2_ref,  # (rank, De) or None
-    concat_b_ref,  # (1, De)
-    ffn_up_ref,  # (L, De, Dh)
-    ffn_down_ref,  # (L, Dh, De)
-    out_proj_ref,  # (De, D) or None
-    dist_ref,  # (R, A) output: ||x - (MLP(cand|xh) + xh)||^2
+    cand,  # (RA, D) f32 raw codewords
+    cond,  # (RA, D) f32 current reconstruction, repeated A times
+    in_proj_ref,
+    concat_w_ref,
+    concat_w2_ref,
+    concat_b_ref,
+    ffn_up_ref,
+    ffn_down_ref,
+    out_proj_ref,
 ):
-    R, A = idx_ref.shape
-    K = codebook_ref.shape[0]
-    D, De = spec.D, spec.De
+    """The per-candidate MLP (shared by both scoring kernels); returns the
+    absolute candidate reconstructions ``cand_abs (RA, D)`` f32."""
     dt = jnp.dtype(spec.compute_dtype)
-
-    # One-hot candidate materialization on the MXU (RA, K) @ (K, D).
-    # (Built as (R, A, K) then collapsed over leading dims — Mosaic only
-    # supports reshapes that keep the lane dimension.)
-    idx = idx_ref[:]  # (R, A)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, A, K), dimension=2)
-    onehot = (col == idx[:, :, None]).astype(dt).reshape(R * A, K)
-    cand = jnp.dot(
-        onehot, codebook_ref[:].astype(dt), preferred_element_type=jnp.float32
-    )  # (RA, D) f32
-
-    # Condition rows repeated A times: (R, D) -> (R, A, D) -> (RA, D).
-    xh = xh_ref[:].astype(jnp.float32)
-    cond = jnp.broadcast_to(xh[:, None, :], (R, A, D)).reshape(R * A, D)
 
     h = cand.astype(dt)
     if in_proj_ref is not None:
@@ -101,16 +83,275 @@ def _cand_scores_kernel(
 
     if spec.res_codeword_coeff:
         out = out + cand
+    return out + cond  # (RA, D) f32
 
-    cand_abs = out + cond  # (RA, D) f32
+
+def _pack_ids_f32(d, ids):
+    """Steal the 8 low mantissa bits of distances ``d`` (>= 0) for the
+    candidate ids (K <= 256): the beam step then reads the winning
+    codebook ids straight out of the top-k *values* — no (NF, A) id
+    gather / relayout (that padded-16-lane reshape+gather cost
+    ~2.5 ms/step).  d >= 0, so float ordering == int-bit ordering;
+    masking only perturbs ranking on ~2^-15-relative ties, and
+    reconstructions are recomputed exactly for the selected beams."""
+    di = jax.lax.bitcast_convert_type(d, jnp.int32)
+    di = jnp.bitwise_or(jnp.bitwise_and(di, jnp.int32(~0xFF)), ids)
+    return jax.lax.bitcast_convert_type(di, jnp.float32)
+
+
+def _cand_scores_kernel(
+    spec: QincoSpec,
+    x_ref,  # (R, D) target rows
+    xh_ref,  # (R, D) current reconstruction rows
+    idx_ref,  # (R*A, 1) int32 candidate codebook ids (pre-flattened)
+    codebook_ref,  # (K, D)
+    in_proj_ref,  # (D, De) or None
+    concat_w_ref,  # (De + D, De) or (De + D, rank)
+    concat_w2_ref,  # (rank, De) or None
+    concat_b_ref,  # (1, De)
+    ffn_up_ref,  # (L, De, Dh)
+    ffn_down_ref,  # (L, Dh, De)
+    out_proj_ref,  # (De, D) or None
+    dist_ref,  # (R, A) output: ||x - (MLP(cand|xh) + xh)||^2
+    *,
+    pack_ids: bool = False,
+):
+    R, A = dist_ref.shape
+    K = codebook_ref.shape[0]
+    D = spec.D
+    dt = jnp.dtype(spec.compute_dtype)
+
+    # One-hot candidate materialization on the MXU (RA, K) @ (K, D).
+    # The candidate ids arrive pre-flattened as (R·A, 1) so the one-hot
+    # builds as one clean 2D lane-dim iota compare — the earlier
+    # (R, A, K) rank-3 build + reshape was the kernel's VPU bottleneck
+    # (bad (A, K) tiling, ~60% of kernel time).
+    idx = idx_ref[:]  # (RA, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R * A, K), dimension=1)
+    onehot = (col == idx).astype(dt)  # (RA, K)
+    cand = jnp.dot(
+        onehot, codebook_ref[:].astype(dt), preferred_element_type=jnp.float32
+    )  # (RA, D) f32
+
+    # Condition rows repeated A times: (R, D) -> (R, A, D) -> (RA, D).
+    xh = xh_ref[:].astype(jnp.float32)
+    cond = jnp.broadcast_to(xh[:, None, :], (R, A, D)).reshape(R * A, D)
+
+    cand_abs = _mlp_chain(
+        spec, cand, cond, in_proj_ref, concat_w_ref, concat_w2_ref,
+        concat_b_ref, ffn_up_ref, ffn_down_ref, out_proj_ref,
+    )
     diff = jnp.broadcast_to(
         x_ref[:].astype(jnp.float32)[:, None, :], (R, A, D)
     ).reshape(R * A, D) - cand_abs
-    dist_ref[:] = jnp.sum(diff * diff, axis=-1).reshape(R, A)
+    d = jnp.sum(diff * diff, axis=-1, keepdims=True)  # (RA, 1) >= 0
+    if pack_ids:
+        d = _pack_ids_f32(d, idx)
+    dist_ref[:] = d.reshape(R, A)
+
+
+def _fused_substep_kernel(
+    spec: QincoSpec,
+    A: int,  # candidate count = bin count (n_codes)
+    beams: int,  # beam rows per vector (x_ref holds R/beams vector rows)
+    x_ref,  # (R/beams, D) per-vector targets
+    xh_ref,  # (R, D)
+    sub_codebook_ref,  # (K, D)
+    codebook_ref,  # (K, D)
+    in_proj_ref,
+    concat_w_ref,
+    concat_w2_ref,
+    concat_b_ref,
+    ffn_up_ref,
+    ffn_down_ref,
+    out_proj_ref,
+    dist_ref,  # (R, A) packed distances
+):
+    """Substep pre-selection fused into candidate scoring.
+
+    Replaces the XLA chain residual -> (NF, K) partial distances ->
+    top-A (reference: qinco_base.py:114-121) with an in-kernel *binned*
+    argmin: the K codewords split into A contiguous bins of G = K/A and
+    each bin contributes its best candidate.  Nothing (no (NF, K)
+    distance matrix, no (NF, A) id array) ever leaves VMEM.
+
+    Mosaic has no lane-dim-changing reshapes, so the selection runs
+    TRANSPOSED: partial distances come out of ``dot_general`` as
+    (K, R) with the codeword index on the *sublane* axis; the K axis
+    then splits into (A, G, R) — a leading-dim reshape, which is legal —
+    and an unrolled min over the G slabs yields the per-bin minima
+    (A, R).  Ids ride the low 8 mantissa bits (``_pack_ids_f32``), so
+    the min value *is* the argmin (distinct ids => distinct bit
+    patterns, exact deterministic tie-break).  MLP rows run bin-major
+    (A·R, D) and only the final (A, R) distance tile is transposed back
+    to the (R, A) output block.
+
+    (A lane-local masked ``pltpu.roll`` min-tree formulation of the same
+    selection blew past the 16MB scoped-VMEM limit at compile time —
+    58MB of temporaries — and an iterative masked-argmin hung the
+    compiler outright; this formulation compiles in normal time.)
+
+    Note this changes the pre-selection semantics vs exact top-A (best
+    per bin instead of global top-A) — it is the opt-in
+    ``fused_substep`` profile.
+    """
+    R = xh_ref.shape[0]
+    K = codebook_ref.shape[0]
+    D = spec.D
+    G = K // A  # bin width
+    dt = jnp.dtype(spec.compute_dtype)
+
+    # ---- substep partial distances (K, R) on the MXU ----------------------
+    # The target rows arrive one per *vector* and broadcast to the beam
+    # rows in VMEM — the XLA path materialized the (NF, D) broadcast in
+    # HBM (~67 MB write + read per step at production shapes).
+    xv = x_ref[:].astype(jnp.float32)  # (R/beams, D)
+    xv = jnp.broadcast_to(
+        xv[:, None, :], (R // beams, beams, D)
+    ).reshape(R, D)
+    xh = xh_ref[:].astype(jnp.float32)
+    r = xv - xh  # residual target (R, D)
+    C = sub_codebook_ref[:]
+    cn2 = jnp.sum(C * C, axis=1)[:, None]  # (K, 1)
+    d_sub = cn2 - 2.0 * jax.lax.dot_general(
+        C.astype(dt), r.astype(dt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, R) partial: ranking-equivalent to true sqdist per row
+
+    # Pack ids into the low bits => per-bin values pairwise distinct.
+    rowk = jax.lax.broadcasted_iota(jnp.int32, (K, R), dimension=0)
+    ds_p = _pack_ids_f32(d_sub, rowk)
+
+    # ---- per-bin argmin as an unrolled min over G leading-dim slabs -------
+    ds3 = ds_p.reshape(A, G, R)
+    m = ds3[:, 0]
+    for g in range(1, G):
+        m = jnp.minimum(m, ds3[:, g])  # (A, R) packed bin minima
+    ids = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(m, jnp.int32), jnp.int32(0xFF)
+    )  # (A, R) absolute codeword ids
+
+    # ---- candidate one-hot, bin-major rows (a*R + r) ----------------------
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (A, R, K), 2) == ids[:, :, None]
+    ).astype(dt).reshape(A * R, K)
+    cand = jnp.dot(
+        onehot, codebook_ref[:].astype(dt), preferred_element_type=jnp.float32
+    )  # (AR, D) f32
+
+    cond = jnp.broadcast_to(xh[None], (A, R, D)).reshape(A * R, D)
+    cand_abs = _mlp_chain(
+        spec, cand, cond, in_proj_ref, concat_w_ref, concat_w2_ref,
+        concat_b_ref, ffn_up_ref, ffn_down_ref, out_proj_ref,
+    )
+    diff = jnp.broadcast_to(xv[None], (A, R, D)).reshape(A * R, D) - cand_abs
+    d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
+    dist_ref[:] = _pack_ids_f32(d, ids).T  # (R, A)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "row_tile", "interpret")
+    jax.jit,
+    static_argnames=("spec", "n_codes", "beams", "row_tile", "interpret"),
+)
+def fused_substep_scores_pallas(
+    spec: QincoSpec,
+    x: jnp.ndarray,  # (NF/beams, D) per-vector targets
+    xh: jnp.ndarray,  # (NF, D)
+    sub_codebook: jnp.ndarray,  # (K, D)
+    codebook: jnp.ndarray,  # (K, D)
+    in_proj,
+    concat_w,
+    concat_w2,
+    concat_b,
+    ffn_up,
+    ffn_down,
+    out_proj,
+    n_codes: int,
+    beams: int = 1,
+    row_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused substep-selection + candidate scoring.
+
+    ``x`` holds one row per vector; each covers ``beams`` consecutive
+    rows of ``xh`` (requires beams | row_tile).  Returns (NF, n_codes)
+    distances with the candidate codebook id packed in the low 8
+    mantissa bits (always; requires K <= 256 and K % n_codes == 0, both
+    powers of two)."""
+    NF, D = xh.shape
+    K = codebook.shape[0]
+    A = n_codes
+    if K > 256 or K % A or (K & (K - 1)) or (A & (A - 1)):
+        raise ValueError("fused substep requires power-of-2 K <= 256, A | K")
+    if row_tile % beams or x.shape[0] * beams != NF:
+        raise ValueError("beams must divide row_tile and x rows * beams == NF")
+    pad = _round_up(NF, row_tile) - NF
+    if pad:
+        x = jnp.pad(x, ((0, pad // beams), (0, 0)))
+        xh = jnp.pad(xh, ((0, pad), (0, 0)))
+    n_tiles = (NF + pad) // row_tile
+
+    def row_spec(width, rows=row_tile):
+        return pl.BlockSpec(
+            (rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+
+    operands = [x, xh, sub_codebook, codebook, in_proj, concat_w, concat_w2,
+                concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
+    in_specs = [
+        row_spec(D, row_tile // beams),
+        row_spec(D),
+        full(sub_codebook),
+        full(codebook),
+        None if in_proj is None else full(in_proj),
+        full(concat_w),
+        None if concat_w2 is None else full(concat_w2),
+        full(concat_b.reshape(1, -1)),
+        full(ffn_up),
+        full(ffn_down),
+        None if out_proj is None else full(out_proj),
+    ]
+    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
+    has_in = in_proj is not None
+    has_w2 = concat_w2 is not None
+    has_out = out_proj is not None
+
+    def kernel_dispatch(*refs):
+        it = iter(refs[:-1])
+        x_r = next(it)
+        xh_r = next(it)
+        sc_r = next(it)
+        cb_r = next(it)
+        ip_r = next(it) if has_in else None
+        cw_r = next(it)
+        cw2_r = next(it) if has_w2 else None
+        cb2_r = next(it)
+        fu_r = next(it)
+        fd_r = next(it)
+        op_r = next(it) if has_out else None
+        _fused_substep_kernel(
+            spec, A, beams, x_r, xh_r, sc_r, cb_r, ip_r, cw_r, cw2_r, cb2_r,
+            fu_r, fd_r, op_r, refs[-1],
+        )
+
+    dists = pl.pallas_call(
+        kernel_dispatch,
+        out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[s for _, s in live],
+        out_specs=pl.BlockSpec(
+            (row_tile, A), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*[o for o, _ in live])
+    return dists[:NF]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "row_tile", "interpret", "pack_ids")
 )
 def candidate_scores_pallas(
     spec: QincoSpec,
@@ -127,8 +368,13 @@ def candidate_scores_pallas(
     out_proj,  # (De, D) | None
     row_tile: int = 256,
     interpret: bool = False,
+    pack_ids: bool = False,
 ) -> jnp.ndarray:
-    """Fused candidate scoring -> squared distances (NF, A)."""
+    """Fused candidate scoring -> squared distances (NF, A).
+
+    With ``pack_ids`` (requires K <= 256) each distance carries its
+    candidate's codebook id in the low 8 mantissa bits; see
+    ``_cand_scores_kernel``."""
     NF, D = x.shape
     A = idx.shape[1]
     pad = _round_up(NF, row_tile) - NF
@@ -137,11 +383,18 @@ def candidate_scores_pallas(
         xh = jnp.pad(xh, ((0, pad), (0, 0)))
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
     n_tiles = (NF + pad) // row_tile
+    # Pre-flatten the candidate ids: the kernel builds its one-hot from a
+    # (R·A, 1) block (2D lane-dim iota compare; see _cand_scores_kernel).
+    idx = idx.reshape(-1, 1)
 
     def row_spec(width):
         return pl.BlockSpec(
             (row_tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
+
+    idx_spec = pl.BlockSpec(
+        (row_tile * A, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                                   memory_space=pltpu.VMEM)
@@ -151,7 +404,7 @@ def candidate_scores_pallas(
     in_specs = [
         row_spec(D),
         row_spec(D),
-        row_spec(A),
+        idx_spec,
         full(codebook),
         None if in_proj is None else full(in_proj),
         full(concat_w),
@@ -184,7 +437,7 @@ def candidate_scores_pallas(
         op_r = next(it) if has_out else None
         _cand_scores_kernel(
             spec, x_r, xh_r, idx_r, cb_r, ip_r, cw_r, cw2_r, cb2_r, fu_r,
-            fd_r, op_r, refs[-1],
+            fd_r, op_r, refs[-1], pack_ids=pack_ids,
         )
 
     dists = pl.pallas_call(

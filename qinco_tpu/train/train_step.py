@@ -102,7 +102,8 @@ def _micro_batch_pass(spec: QincoSpec, params, mstate: ModelState, x, weights):
     effective batch = nproc × batch × accum, qinco/log.py:160).
     """
     codes, _, enc_stats = encode(
-        jax.lax.stop_gradient(params), spec, x, weights=weights
+        jax.lax.stop_gradient(params), spec, x, weights=weights,
+        want_stats=True,
     )
 
     def loss_fn(p):

@@ -60,3 +60,67 @@ def test_pallas_profile_ivf_spec():
     codes, xhat, _ = encode(params, spec, x)
     assert codes.shape == (spec.M_ivf, 32)
     assert np.isfinite(np.asarray(xhat)).all()
+
+
+def test_fused_substep_binned_selection():
+    """fused_substep profile (interpret mode on CPU): the in-kernel binned
+    argmin must agree with a plain-JAX binned argmin reference, and the
+    end-to-end encode must stay close to the exact path in MSE."""
+    spec = QincoSpec(
+        D=16, K=32, M=4, L=2, de=12, dh=24, A=8, B=4,
+        pallas=True, fast=True, fused_substep=True,
+    )
+    spec_exact = spec.with_(pallas=False, fast=False, fused_substep=False)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(64, spec.D)).astype(np.float32)
+    )
+    codes_e, xhat_e, _ = encode(params, spec_exact, x)
+    codes_f, xhat_f, _ = encode(params, spec, x)
+    assert codes_f.shape == codes_e.shape
+    mse_e = float(jnp.mean(jnp.sum((xhat_e - x) ** 2, -1)))
+    mse_f = float(jnp.mean(jnp.sum((xhat_f - x) ** 2, -1)))
+    # Binned pre-selection loses runner-up candidates to bin collisions.
+    # At this toy shape (K=32 -> bins of 4, B=4) the cost is ~9%; at the
+    # production shape (K=256, A=16, B=32) it measures ~0.2% (bench.py).
+    assert mse_f <= mse_e * 1.15, (mse_f, mse_e)
+    # decode(codes) must reproduce xhat exactly (ids decoded from packed bits)
+    from qinco_tpu.models import decode
+
+    dec = decode(params, spec, codes_f)
+    assert float(jnp.mean((dec - xhat_f) ** 2)) < 1e-10
+
+
+def test_fused_substep_kernel_selection_matches_reference():
+    """The packed ids out of the fused kernel == binned argmin over the
+    same (bf16-rounded) partial distances."""
+    from qinco_tpu.models.params import init_params as ip
+    from qinco_tpu.ops.pallas_kernels import fused_substep_scores_pallas
+
+    spec = QincoSpec(D=16, K=32, M=2, L=1, de=16, dh=24, A=8, B=4,
+                     compute_dtype="float32")
+    params = ip(jax.random.PRNGKey(1), spec)
+    p0 = jax.tree.map(lambda a: a[0], params.steps)
+    rng = np.random.default_rng(4)
+    NF = 64
+    x = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    out = np.asarray(fused_substep_scores_pallas(
+        spec, x, xh, p0.sub_codebook, p0.codebook, p0.in_proj, p0.concat_w,
+        p0.concat_w2, p0.concat_b, p0.ffn_up, p0.ffn_down, p0.out_proj,
+        n_codes=spec.A, row_tile=32,
+        interpret=jax.default_backend() != "tpu"))
+    ids = out.view(np.int32) & 0xFF
+
+    K, A = spec.K, spec.A
+    G = K // A
+    C = np.asarray(p0.sub_codebook, np.float32)
+    d_sub = (C ** 2).sum(1)[None, :] - 2.0 * (
+        np.asarray(x - xh, np.float32) @ C.T
+    )
+    ds_p = ((d_sub.astype(np.float32).view(np.int32) & ~0xFF)
+            | np.arange(K, dtype=np.int32)[None, :]).view(np.float32)
+    exp = np.empty((NF, A), np.int32)
+    for a in range(A):
+        exp[:, a] = ds_p[:, a * G:(a + 1) * G].argmin(1) + a * G
+    assert (ids == exp).mean() > 0.99, (ids[:3], exp[:3])
