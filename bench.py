@@ -26,6 +26,8 @@ def main():
     from qinco_tpu.models.spec import QincoSpec
 
     profiles = [
+        dict(fast=True, pallas=True, fused_substep=True,
+             compute_dtype="bfloat16"),
         dict(fast=True, pallas=True, compute_dtype="bfloat16"),
         dict(fast=True, compute_dtype="bfloat16"),  # fallback: no Pallas
         dict(),  # fallback: exact XLA path
