@@ -78,3 +78,31 @@ def test_chunked_argmin(rng, K, chunk):
     codes, _ = chunked_argmin(jnp.asarray(x), jnp.asarray(book), chunk=chunk)
     want = np.argmin(np_pairwise_sqdist(x, book), axis=-1)
     np.testing.assert_array_equal(np.asarray(codes), want)
+
+
+def test_packed_id_distances_preserve_ordering():
+    """The low-8-bit id packing used by the Pallas kernels must keep f32
+    ordering except on ~2^-15-relative ties, and ids must round-trip."""
+    import jax
+
+    from qinco_tpu.ops.pallas_kernels import _pack_ids_f32
+
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(np.sort(rng.gamma(2.0, 10.0, size=512)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 256, size=512).astype(np.int32))
+    packed = _pack_ids_f32(d, ids)
+    # ids round-trip exactly
+    got = np.asarray(
+        jax.lax.bitcast_convert_type(packed, jnp.int32)
+    ) & 0xFF
+    np.testing.assert_array_equal(got, np.asarray(ids))
+    # values unchanged beyond 2^-15 relative
+    rel = np.abs(np.asarray(packed) - np.asarray(d)) / np.asarray(d)
+    assert rel.max() < 2.0 ** -14
+    # ordering preserved for pairs separated by > 2^-13 relative
+    p = np.asarray(packed)
+    dv = np.asarray(d)
+    for i in range(0, 500, 7):
+        j = i + 1
+        if (dv[j] - dv[i]) / dv[i] > 2.0 ** -13:
+            assert p[j] > p[i]
