@@ -173,19 +173,20 @@ def _beam_step(
     (N, F_out)`` the parent beam of each selection — the caller
     backtraces the code history once at the end instead of permuting a
     full (M, N, F) buffer every step (that gather was ~1.3 ms/step)."""
+    if spec.has_substep() and _fused_substep_ok(spec, n_codes):
+        # Selection fused into the scoring kernel (binned argmin); no
+        # (NF, K) distance matrix or (NF, A) id array ever materializes
+        # in HBM.
+        return _beam_step_fused(
+            spec, p, x, xhat, F_out, n_codes, None, w, want_stats
+        )
+
     N, F_in, D = xhat.shape
     NF = N * F_in
     xh = xhat.reshape(NF, D)
     x_f = jnp.broadcast_to(x[:, None, :], (N, F_in, D)).reshape(NF, D)
 
     if spec.has_substep():
-        if _fused_substep_ok(spec, n_codes):
-            # Selection fused into the scoring kernel (binned argmin);
-            # no (NF, K) distance matrix or (NF, A) id array ever
-            # materializes in HBM.
-            return _beam_step_fused(
-                spec, p, x, xhat, F_out, n_codes, None, w, want_stats
-            )
         # Substep pre-selection: top n_codes fixed-codebook candidates for
         # the residual (reference: qinco_base.py:114-121).
         sub_d = pairwise_sqdist_partial(x_f - xh, p.sub_codebook)  # (NF, K)

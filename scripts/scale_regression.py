@@ -57,15 +57,25 @@ def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int, seed=0):
         return np.concatenate(parts).astype(np.float32)
 
     log(f"generating train {train_size}, db {db_size}, queries {nq}")
-    train = sample(train_size, 1)
-    np.save(out / "train.npy", train)
-    del train
-    db = sample(db_size, 2)
-    np.save(out / "db.npy", db)
-    queries = db[rng.integers(0, db_size, size=nq)] + 0.05 * rng.normal(
-        size=(nq, d)
-    ).astype(np.float32)
-    np.save(out / "queries.npy", queries.astype(np.float32))
+    if not (out / "train.npy").exists():
+        train = sample(train_size, 1)
+        np.save(out / "train.npy", train)
+        del train
+    if not (out / "db.npy").exists():
+        db = sample(db_size, 2)
+        np.save(out / "db.npy", db)
+    else:
+        db = np.load(out / "db.npy", mmap_mode="r")
+    if not (out / "queries.npy").exists():
+        queries = np.asarray(db[
+            np.sort(rng.integers(0, db_size, size=nq))
+        ]) + 0.05 * rng.normal(size=(nq, d)).astype(np.float32)
+        np.save(out / "queries.npy", queries.astype(np.float32))
+    else:
+        queries = np.load(out / "queries.npy")
+
+    if (out / "gt.npy").exists():
+        return np.load(out / "gt.npy")
 
     # exact GT: chunked top-100 on device (running merge)
     log("computing exact ground truth on device")
@@ -86,10 +96,18 @@ def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int, seed=0):
 
     best_d = jnp.full((nq, 100), 3.4e38, jnp.float32)
     best_i = jnp.zeros((nq, 100), jnp.int32)
-    chunk = 1_000_000
+    # chunk bounds the (nq, chunk) distance matrix: 4096 x 131072 f32 = 2GB
+    # (a 1M chunk OOMs the 16GB HBM).
+    chunk = 131_072
     for i in range(0, db_size, chunk):
+        part = np.asarray(db[i : i + chunk], np.float32)
+        if len(part) < chunk:  # keep one compiled shape for the tail
+            part = np.concatenate(
+                [part, np.full((chunk - len(part), part.shape[1]), 1e30,
+                               np.float32)]
+            )
         best_d, best_i = chunk_top(
-            qd, jnp.asarray(db[i : i + chunk]), i, best_d, best_i
+            qd, jnp.asarray(part), i, best_d, best_i
         )
     gt = np.asarray(best_i)
     np.save(out / "gt.npy", gt)
@@ -152,11 +170,17 @@ def main():
         from qinco_tpu.ops.distances import chunked_argmin
 
         cents = np.load(out / "ivf.npy")
-        sample = np.load(out / "train.npy", mmap_mode="r")[:100_000]
-        codes, _ = chunked_argmin(
-            jnp.asarray(np.asarray(sample, np.float32)), jnp.asarray(cents)
+        sample = np.asarray(
+            np.load(out / "train.npy", mmap_mode="r")[:65_536], np.float32
         )
-        mse = float(((sample - cents[np.asarray(codes)]) ** 2).sum(1).mean())
+        cents_dev = jnp.asarray(cents)
+        codes = np.concatenate([
+            np.asarray(chunked_argmin(
+                jnp.asarray(sample[i : i + 4096]), cents_dev, chunk=16384
+            )[0])
+            for i in range(0, len(sample), 4096)
+        ])
+        mse = float(((sample - cents[codes]) ** 2).sum(1).mean())
         report["kmeans_sample_mse"] = mse
         log(f"k-means sample quantization MSE/vector: {mse:g}")
 
