@@ -107,16 +107,19 @@ def sqdist_topk(
     return topk_smallest(pairwise_sqdist_partial(a, b), k)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "fast"))
+@functools.partial(jax.jit, static_argnames=("chunk", "fast", "max_elems"))
 def chunked_argmin(
     x: jnp.ndarray, codebook: jnp.ndarray, chunk: int = 65536,
-    fast: bool = True,
+    fast: bool = True, max_elems: int = 2 ** 28,
 ):
     """Nearest-codeword assignment against a huge codebook.
 
     ``x``: (N, D); ``codebook``: (K, D) with K typically 2^20.  Scans the
     codebook in ``chunk``-row slices keeping a running (best_dist, best_idx)
-    carry, so peak memory is O(N × chunk) instead of O(N × K).
+    carry, and additionally scans ``x`` in row blocks so the live
+    distance tile never exceeds ``max_elems`` elements (the reference
+    bounds the same product with IVF_BS_MAX = 2^30 elements,
+    qinco_base.py:131) — 2^28 f32 = 1 GB, safe under the 16 GB HBM.
 
     Returns (codes (N,) int32, best partial distances (N,) f32).
     K must be a multiple of ``chunk``; callers with K = 2^20 and
@@ -135,23 +138,34 @@ def chunked_argmin(
     # precision runs ~6x fewer MXU passes than HIGHEST.
     prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
 
-    def body(carry, args):
-        best_d, best_i = carry
-        i_chunk, book = args
-        d = pairwise_sqdist_partial(x, book, precision=prec)  # (N, chunk)
-        local_i = jnp.argmin(d, axis=-1)
-        local_d = jnp.take_along_axis(d, local_i[:, None], axis=-1)[:, 0]
-        take = local_d < best_d
-        best_i = jnp.where(take, local_i + i_chunk * chunk, best_i)
-        best_d = jnp.where(take, local_d, best_d)
-        return (best_d, best_i), None
+    def argmin_rows(xr):
+        def body(carry, args):
+            best_d, best_i = carry
+            i_chunk, book = args
+            d = pairwise_sqdist_partial(xr, book, precision=prec)
+            local_i = jnp.argmin(d, axis=-1)
+            local_d = jnp.take_along_axis(d, local_i[:, None], axis=-1)[:, 0]
+            take = local_d < best_d
+            best_i = jnp.where(take, local_i + i_chunk * chunk, best_i)
+            best_d = jnp.where(take, local_d, best_d)
+            return (best_d, best_i), None
+
+        init = (
+            jnp.full((xr.shape[0],), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((xr.shape[0],), dtype=jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(
+            body, init, (jnp.arange(n_chunks, dtype=jnp.int32), books)
+        )
+        return best_i.astype(jnp.int32), best_d
 
     n = x.shape[0]
-    init = (
-        jnp.full((n,), jnp.inf, dtype=jnp.float32),
-        jnp.zeros((n,), dtype=jnp.int32),
+    row_block = max(1, max_elems // chunk)
+    if n <= row_block:
+        return argmin_rows(x)
+    pad = -n % row_block
+    xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, row_block, x.shape[1])
+    _, (idx, dist) = jax.lax.scan(
+        lambda _, xr: (None, argmin_rows(xr)), None, xb
     )
-    (best_d, best_i), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_chunks, dtype=jnp.int32), books)
-    )
-    return best_i.astype(jnp.int32), best_d
+    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
