@@ -154,12 +154,13 @@ def _fused_substep_kernel(
     spec: QincoSpec,
     A: int,  # candidate count = bin count (n_codes)
     beams: int,  # beam rows per vector (x_ref holds R/beams vector rows)
+    off_h: int,  # lane offset of the h-init slice in the fused table
+    off_w1: int,  # lane offset of the W1·h slice in the fused table
     x_ref,  # (R/beams, D) per-vector targets
     xh_ref,  # (R, D)
     sub_codebook_ref,  # (K, D)
-    codebook_ref,  # (K, D)
-    in_proj_ref,
-    concat_w_ref,
+    table_ref,  # (K, Wt) fused per-codeword table [C | C·P | C·P·W1]
+    w2_ref,  # (D, cw_out) condition half of the concat weight
     concat_w2_ref,
     concat_b_ref,
     ffn_up_ref,
@@ -186,6 +187,22 @@ def _fused_substep_kernel(
     (A·R, D) and only the final (A, R) distance tile is transposed back
     to the (R, A) output block.
 
+    Candidate materialization exploits two structural redundancies the
+    reference's per-row MLP (qinco_inference.py:178-188) cannot:
+
+    * The concat layer splits as ``cc = W1·h + W2·cond + b`` and the
+      candidate half ``W1·h`` has only K distinct values per step — so
+      ``[C | C·P | C·P·W1]`` is precomputed once per step (P = in_proj
+      or identity) and fetched per candidate, and the condition half
+      ``W2·cond`` is computed on the R condition rows instead of A·R
+      candidate rows.  The concat matmul vanishes from the per-row cost.
+    * The fetch itself contracts over the G-wide bin, not all K: the
+      per-bin selection mask (``ds3 == m``, exactly one hit per bin —
+      packed ids make values pairwise distinct) is already laid out
+      (A, G, R), so each bin's slab multiplies straight into its G rows
+      of the table — 16x fewer one-hot FLOPs than the previous
+      (A·R, K) @ (K, D) one-hot, and no (A, R, K) VPU iota compare.
+
     (A lane-local masked ``pltpu.roll`` min-tree formulation of the same
     selection blew past the 16MB scoped-VMEM limit at compile time —
     58MB of temporaries — and an iterative masked-argmin hung the
@@ -196,7 +213,7 @@ def _fused_substep_kernel(
     ``fused_substep`` profile.
     """
     R = xh_ref.shape[0]
-    K = codebook_ref.shape[0]
+    K = sub_codebook_ref.shape[0]
     D = spec.D
     G = K // A  # bin width
     dt = jnp.dtype(spec.compute_dtype)
@@ -231,19 +248,59 @@ def _fused_substep_kernel(
         jax.lax.bitcast_convert_type(m, jnp.int32), jnp.int32(0xFF)
     )  # (A, R) absolute codeword ids
 
-    # ---- candidate one-hot, bin-major rows (a*R + r) ----------------------
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (A, R, K), 2) == ids[:, :, None]
-    ).astype(dt).reshape(A * R, K)
-    cand = jnp.dot(
-        onehot, codebook_ref[:].astype(dt), preferred_element_type=jnp.float32
-    )  # (AR, D) f32
+    # ---- per-bin fused-table fetch, bin-major rows (a*R + r) --------------
+    # The winner mask is exact (packed values are pairwise distinct inside
+    # a bin); slab a contracts over its own G table rows.
+    mask3 = ds3 == m[:, None, :]  # (A, G, R), one hit per (a, ., r)
+    tab = table_ref[:].astype(dt).reshape(A, G, -1)
+    ext = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                mask3[a].astype(dt), tab[a], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for a in range(A)
+        ],
+        axis=0,
+    )  # (A·R, Wt) f32: [cand | h-init | W1·h]
+    cand = ext[:, :D]
+    h = ext[:, off_h:off_w1].astype(dt) if off_h else cand.astype(dt)
+    w1h = ext[:, off_w1:]  # (A·R, cw_out)
+
+    # Condition half of the concat layer on the R condition rows only.
+    cw = w1h.shape[1]
+    cc_cond = jnp.dot(
+        xh.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32
+    )  # (R, cw_out)
+    cc = w1h + jnp.broadcast_to(cc_cond[None], (A, R, cw)).reshape(A * R, cw)
+    if concat_w2_ref is not None:  # QINCo-LR low-rank factor
+        cc = jnp.dot(
+            cc.astype(dt), concat_w2_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+    h = h + (cc + concat_b_ref[0, :]).astype(dt)
+
+    for l in range(spec.L):
+        up = jnp.dot(
+            h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
+        )
+        up = jnp.maximum(up, 0.0).astype(dt)
+        down = jnp.dot(
+            up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
+        )
+        h = h + down.astype(dt)
+
+    if out_proj_ref is not None:
+        out = jnp.dot(
+            h, out_proj_ref[:].astype(dt), preferred_element_type=jnp.float32
+        )
+    else:
+        out = h.astype(jnp.float32)
+    if spec.res_codeword_coeff:
+        out = out + cand
 
     cond = jnp.broadcast_to(xh[None], (A, R, D)).reshape(A * R, D)
-    cand_abs = _mlp_chain(
-        spec, cand, cond, in_proj_ref, concat_w_ref, concat_w2_ref,
-        concat_b_ref, ffn_up_ref, ffn_down_ref, out_proj_ref,
-    )
+    cand_abs = out + cond
     diff = jnp.broadcast_to(xv[None], (A, R, D)).reshape(A * R, D) - cand_abs
     d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
     dist_ref[:] = _pack_ids_f32(d, ids).T  # (R, A)
@@ -291,6 +348,28 @@ def fused_substep_scores_pallas(
         xh = jnp.pad(xh, ((0, pad), (0, 0)))
     n_tiles = (NF + pad) // row_tile
 
+    # Fused per-codeword table [C | C·P | C·P·W1] (see kernel docstring):
+    # the concat layer's candidate half has only K distinct values per
+    # step, so it is precomputed here (tiny (K, ·) matmuls, hoisted as a
+    # constant subgraph by XLA) and fetched per candidate in-kernel.
+    dt = jnp.dtype(spec.compute_dtype)
+    h_w = in_proj.shape[1] if in_proj is not None else D
+    w1 = concat_w[:h_w]
+    w2 = concat_w[h_w:]  # condition half, passed separately
+    pieces = [codebook]
+    if in_proj is not None:
+        cp = jnp.dot(codebook.astype(dt), in_proj.astype(dt),
+                     preferred_element_type=jnp.float32)
+        pieces.append(cp)
+        off_h = D
+    else:
+        cp = codebook
+        off_h = 0  # h-init aliases the raw-codeword slice
+    pieces.append(jnp.dot(cp.astype(dt), w1.astype(dt),
+                          preferred_element_type=jnp.float32))
+    off_w1 = D + (h_w if in_proj is not None else 0)
+    table = jnp.concatenate(pieces, axis=1)  # (K, Wt)
+
     def row_spec(width, rows=row_tile):
         return pl.BlockSpec(
             (rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -299,15 +378,14 @@ def fused_substep_scores_pallas(
     full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                                   memory_space=pltpu.VMEM)
 
-    operands = [x, xh, sub_codebook, codebook, in_proj, concat_w, concat_w2,
+    operands = [x, xh, sub_codebook, table, w2, concat_w2,
                 concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
     in_specs = [
         row_spec(D, row_tile // beams),
         row_spec(D),
         full(sub_codebook),
-        full(codebook),
-        None if in_proj is None else full(in_proj),
-        full(concat_w),
+        full(table),
+        full(w2),
         None if concat_w2 is None else full(concat_w2),
         full(concat_b.reshape(1, -1)),
         full(ffn_up),
@@ -315,7 +393,6 @@ def fused_substep_scores_pallas(
         None if out_proj is None else full(out_proj),
     ]
     live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
-    has_in = in_proj is not None
     has_w2 = concat_w2 is not None
     has_out = out_proj is not None
 
@@ -324,17 +401,16 @@ def fused_substep_scores_pallas(
         x_r = next(it)
         xh_r = next(it)
         sc_r = next(it)
-        cb_r = next(it)
-        ip_r = next(it) if has_in else None
-        cw_r = next(it)
+        tab_r = next(it)
+        w2_r = next(it)
         cw2_r = next(it) if has_w2 else None
         cb2_r = next(it)
         fu_r = next(it)
         fd_r = next(it)
         op_r = next(it) if has_out else None
         _fused_substep_kernel(
-            spec, A, beams, x_r, xh_r, sc_r, cb_r, ip_r, cw_r, cw2_r, cb2_r,
-            fu_r, fd_r, op_r, refs[-1],
+            spec, A, beams, off_h, off_w1, x_r, xh_r, sc_r, tab_r, w2_r,
+            cw2_r, cb2_r, fu_r, fd_r, op_r, refs[-1],
         )
 
     dists = pl.pallas_call(

@@ -17,20 +17,26 @@ import sys
 def _maybe_reexec_cpu(argv):
     """cpu=true must take effect before any jax import; when a TPU PJRT
     plugin was injected at interpreter start (sitecustomize), the only
-    reliable way is re-exec with a cleaned environment."""
+    reliable way is re-run in a subprocess with a cleaned environment.
+
+    Returns the subprocess's exit code when it ran, else None — main()
+    must return (not raise) so programmatic callers such as
+    scripts/scale_regression.py survive the detour."""
     if "cpu=true" not in argv or os.environ.get("_QINCO_CPU_REEXEC"):
-        return
+        return None
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        return
+        return None
     import subprocess
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["_QINCO_CPU_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
-    raise SystemExit(
-        subprocess.call([sys.executable, sys.argv[0], *argv], env=env)
+    # Re-run this file, not sys.argv[0]: main() may have been called from
+    # another driver whose argparse would choke on the forwarded task args.
+    return subprocess.call(
+        [sys.executable, os.path.abspath(__file__), *argv], env=env
     )
 
 
@@ -39,7 +45,9 @@ def main(argv=None):
     if any(a in ("-h", "--help") for a in argv):
         print(__doc__)
         return 0
-    _maybe_reexec_cpu(argv)
+    rc = _maybe_reexec_cpu(argv)
+    if rc is not None:
+        return rc
     from qinco_tpu.config import load_config
     from qinco_tpu.parallel.distributed import maybe_init_distributed
     from qinco_tpu.tasks import get_task
