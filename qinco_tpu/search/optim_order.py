@@ -5,10 +5,11 @@ and explores grid points nearest (in log2 space) to that prior first
 (reference: qinco/search/optim_order.py, search_tasks.py:285-303).  That
 table is experiment data we can't reproduce offline, so the prior here is
 *generated*: a ladder of balanced pipeline settings following the scaling
-relationships visible in the reference's table — coarse-search effort
-grows with the shortlist (``nprobe ≈ nshort/2 .. 2·nshort``,
-``efSearch ≈ 2·nprobe``), and the mid-rerank expansion stays small
-(1-8×).  The distance-ordering machinery is equivalent.
+relationships measured over the reference's table (201 rows):
+``log2(nprobe/nshort)`` has median 0 with p10/p90 at ∓1, ``efSearch``
+sits at a median 4·nprobe (p10 1x, p90 16x), and the mid-rerank
+expansion stays small (1-6x, mode 1).  The distance-ordering machinery
+is equivalent.
 """
 
 from __future__ import annotations
@@ -22,12 +23,12 @@ def generated_pareto_prior() -> list[dict]:
         nshort = 2**log_ns
         for probe_ratio in (0.5, 1.0, 2.0):
             nprobe = max(1, int(nshort * probe_ratio))
-            for nmid in (1, 2, 4, 8):
+            for nmid in (1, 2, 4, 6):
                 prior.append(
                     {
                         "nshort": nshort,
                         "nprobe": nprobe,
-                        "quantizer_efSearch": max(4, 2 * nprobe),
+                        "quantizer_efSearch": max(4, 4 * nprobe),
                         "nmid_short": nmid,
                     }
                 )

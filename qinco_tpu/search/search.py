@@ -138,21 +138,12 @@ def run_search_ivf(task):
     experiments = sort_experiments_by_prior(op, op.all_keys())
     log(f"Total experiments {op.num_experiments()}, running {len(experiments)}")
 
-    for i_exp, key in enumerate(experiments):
-        parameters = op.get_parameters(key)
-        log(f"-\nExperiment {i_exp + 1}/{len(experiments)} {key}")
+    def run_pipeline(parameters, exp_timers):
+        """One operating point: coarse -> [mid-rerank] -> decode -> rerank.
 
-        if parameters in seen_parameters:
-            for result in ivf_real_res:
-                if result["key"] == list(key):
-                    op.add_operating_point(key, result["recalls"]["1"],
-                                           result["t_total"])
-                    break
-            log("Loaded from previous checkpoint")
-            continue
-        seen_parameters.append(parameters)
-
-        exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
+        Factored so a warmup invocation can run the exact measured path
+        (same shapes, same jits, same native threads) untimed.
+        """
         nprobe = parameters["nprobe"]
         if index.hnsw is not None and "quantizer_efSearch" in parameters:
             index.ef_search = parameters["quantizer_efSearch"]
@@ -160,12 +151,6 @@ def run_search_ivf(task):
         nmid_short = parameters["nmid_short"] * nshort
         n_short_ivf = min(max(nmid_short, nshort), 8000)
 
-        max_perf, min_time = op.predict_bounds(key)
-        if not op.is_pareto_optimal(max_perf, min_time):
-            log(f"SKIP, {max_perf=:.3f} {min_time=:.3f}")
-            continue
-
-        # Part 1: shortlist of codes from the index
         # (native already returns int32 codes; no listno byte-unpacking
         # needed, unlike faiss's packed invlists).
         with exp_timers.search:
@@ -222,8 +207,48 @@ def run_search_ivf(task):
             idx = np.argsort(D_ref, axis=1)
             I_refined = np.take_along_axis(I, idx[:, :100], axis=1)
 
-        recalls_orig = compute_recalls(I, gt)
-        recalls = compute_recalls(I_refined, gt)
+        return compute_recalls(I_refined, gt), compute_recalls(I, gt)
+
+    # Untimed warmup with the cheapest settings over the real queries:
+    # pays the jit compiles (decode batch, rerank matmul), spins up the
+    # native scan threads, and pages the inverted lists in, so the first
+    # *measured* point isn't charged one-time costs.  The reference's
+    # protocol gets this for free by reusing a long-lived faiss index.
+    pending = [k for k in experiments
+               if op.get_parameters(k) not in seen_parameters]
+    if pending and cfg.search.get("warmup", True):
+        wparams = dict(op.get_parameters(pending[0]))
+        for name, vals in (("nprobe", cfg.search.nprobe),
+                           ("nshort", cfg.search.nshort)):
+            wparams[name] = min(vals)
+        # max nmid multiplier so the mid-rerank path (decoder jit) warms
+        # too; with min(nshort) it stays cheap.
+        wparams["nmid_short"] = max(nmid)
+        log(f"Warmup (untimed): {wparams}")
+        run_pipeline(wparams,
+                     TimersManager("search", "mid_rerank", "decode", "rerank"))
+
+    for i_exp, key in enumerate(experiments):
+        parameters = op.get_parameters(key)
+        log(f"-\nExperiment {i_exp + 1}/{len(experiments)} {key}")
+
+        if parameters in seen_parameters:
+            for result in ivf_real_res:
+                if result["key"] == list(key):
+                    op.add_operating_point(key, result["recalls"]["1"],
+                                           result["t_total"])
+                    break
+            log("Loaded from previous checkpoint")
+            continue
+        seen_parameters.append(parameters)
+
+        max_perf, min_time = op.predict_bounds(key)
+        if not op.is_pareto_optimal(max_perf, min_time):
+            log(f"SKIP, {max_perf=:.3f} {min_time=:.3f}")
+            continue
+
+        exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
+        recalls, recalls_orig = run_pipeline(parameters, exp_timers)
         total_time = exp_timers.sum().get()
         log(
             f"Achieved R@1={recalls[1] * 100:.2f} R@10={recalls[10] * 100:.2f} "

@@ -269,6 +269,17 @@ def main():
 
     phase("validations", validations)
 
+    # 5.5 Pairwise additive mid-rerank decoder (reference:
+    # TrainPairwiseDecoderTask, search_tasks.py:735-832) — the scale sweep
+    # exercises it through nmid_short > 1 operating points.
+    if not (out / "pairwise.npz").exists():
+        phase("train_pairwise_decoder", lambda: run_qinco.main([
+            "task=train_pairwise_decoder", f"trainset={out}/train.npy",
+            f"ivf_centroids={out}/ivf.npy",
+            f"encoded_trainset={out}/codes_train.npz",
+            f"output={out}/pairwise.npz", "ds.valset=10000", "verbose=true",
+        ]))
+
     # 6. Search sweep (TPU coarse + native scan)
     def search_sweep(cpu: bool):
         suffix = "_cpu" if cpu else ""
@@ -276,10 +287,11 @@ def main():
             "task=search", f"model={out}/model.npz",
             f"ivf_centroids={out}/ivf.npy", f"index={out}/index.qivf",
             f"queries={out}/queries.npy", f"queries_gt={out}/gt.npy",
+            f"pairwise_decoder={out}/pairwise.npz",
             f"output={out}/results{suffix}.json",
             "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
-            "search.nmid_short=[1]", "search.quantizer_efSearch=[]",
-            "verbose=true",
+            "search.nmid_short=[1,3]", "search.quantizer_efSearch=[]",
+            "verbose=true", "resume=true",
         ]
         if cpu:
             cmd += ["cpu=true", "search.nthreads=0"]
@@ -294,12 +306,13 @@ def main():
         return res
 
     res = phase("search_sweep", lambda: search_sweep(False))
+    res_cpu = None
     if args.cpu_search:
-        phase("search_sweep_cpu", lambda: search_sweep(True))
+        res_cpu = phase("search_sweep_cpu", lambda: search_sweep(True))
 
     # 7. Pareto-prior ordering check: do the first-k explored points hit
     # the measured recall/time frontier? (VERDICT r1 #4)
-    def pareto_check(res):
+    def pareto_check(res, tag):
         pts = [
             (r["recalls"]["1"], r["t_total"], i)
             for i, r in enumerate(res["ivf_real_res"])
@@ -315,15 +328,17 @@ def main():
         k = max(3, len(frontier))
         first_k = set(range(min(k, len(pts))))
         hit = len(frontier & first_k) / max(len(frontier), 1)
-        report["pareto_prior"] = {
+        report[f"pareto_prior{tag}"] = {
             "frontier_size": len(frontier),
             "frontier_indices_in_explore_order": sorted(frontier),
             "first_k_hit_fraction": round(hit, 3),
         }
-        log(f"Pareto frontier {sorted(frontier)}; "
+        log(f"[{tag or 'tpu'}] Pareto frontier {sorted(frontier)}; "
             f"first-{k} explored hit {hit * 100:.0f}% of it")
 
-    pareto_check(res)
+    pareto_check(res, "")
+    if res_cpu is not None:
+        pareto_check(res_cpu, "_cpu")
 
     (out / "scale_report.json").write_text(json.dumps(report, indent=2))
     log(f"report written to {out}/scale_report.json")
