@@ -291,10 +291,14 @@ def main():
             f"output={out}/results{suffix}.json",
             "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
             "search.nmid_short=[1,3]", "search.quantizer_efSearch=[]",
+            # nthreads=0 -> one OMP thread per core.  The config default
+            # (32, the reference's protocol) oversubscribes small hosts
+            # 8x and inflates scan times ~4x.
+            "search.nthreads=0",
             "verbose=true", "resume=true",
         ]
         if cpu:
-            cmd += ["cpu=true", "search.nthreads=0"]
+            cmd += ["cpu=true"]
         run_qinco.main(cmd)
         res = json.loads((out / f"results{suffix}.json").read_text())
         report[f"operating_points{suffix}"] = [
