@@ -283,9 +283,12 @@ def _beam_step_fused(
     interpret = jax.default_backend() != "tpu"
 
     # VMEM budget: the kernel's activations scale with row_tile * n_codes
-    # (the fused MLP runs on R*A rows); keep R*A <= 4096 — 8192 was
-    # observed to overflow the 16MB scoped-vmem limit by a hair.
-    row_tile = max(8, min(512, 4096 // n_codes, _round_up_pow2(NF)))
+    # (the fused MLP runs on R*A rows).  The fused-substep kernel keeps
+    # its fetched candidate block in the compute dtype, which fits
+    # R*A = 8192 under the 16MB scoped-vmem limit; the plain scoring
+    # kernel's f32 activations overflow there, so it stays at 4096.
+    budget = 8192 if top_idx is None else 4096
+    row_tile = max(8, min(512, budget // n_codes, _round_up_pow2(NF)))
     if top_idx is None:
         pack_ids = True
         # Pass per-vector targets when the beam count divides the row

@@ -155,7 +155,8 @@ def _fused_substep_kernel(
     A: int,  # candidate count = bin count (n_codes)
     beams: int,  # beam rows per vector (x_ref holds R/beams vector rows)
     off_h: int,  # lane offset of the h-init slice in the fused table
-    off_w1: int,  # lane offset of the W1·h slice in the fused table
+    off_w1: int,  # lane offset of the W1·h slice (== table width when the
+    #               W1 product is folded into the h slice, see below)
     x_ref,  # (R/beams, D) per-vector targets
     xh_ref,  # (R, D)
     sub_codebook_ref,  # (K, D)
@@ -253,32 +254,60 @@ def _fused_substep_kernel(
     # a bin); slab a contracts over its own G table rows.
     mask3 = ds3 == m[:, None, :]  # (A, G, R), one hit per (a, ., r)
     tab = table_ref[:].astype(dt).reshape(A, G, -1)
+    # Slab outputs cast to the compute dtype before the concat: the fetch
+    # is exact row selection of an already-dt-rounded table (one-hot
+    # contraction), so nothing is lost, and the bf16 ext halves both the
+    # concat copy and ~4MB of scoped VMEM — which is what lets the row
+    # tile reach 512 without overflowing the 16MB limit.
     ext = jnp.concatenate(
         [
             jax.lax.dot_general(
                 mask3[a].astype(dt), tab[a], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(dt)
             for a in range(A)
         ],
         axis=0,
-    )  # (A·R, Wt) f32: [cand | h-init | W1·h]
+    )  # (A·R, Wt) dt: [cand | h-init | W1·h]
     cand = ext[:, :D]
-    h = ext[:, off_h:off_w1].astype(dt) if off_h else cand.astype(dt)
-    w1h = ext[:, off_w1:]  # (A·R, cw_out)
-
-    # Condition half of the concat layer on the R condition rows only.
-    cw = w1h.shape[1]
-    cc_cond = jnp.dot(
-        xh.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32
-    )  # (R, cw_out)
-    cc = w1h + jnp.broadcast_to(cc_cond[None], (A, R, cw)).reshape(A * R, cw)
-    if concat_w2_ref is not None:  # QINCo-LR low-rank factor
-        cc = jnp.dot(
-            cc.astype(dt), concat_w2_ref[:].astype(dt),
+    Wt = ext.shape[1]
+    if off_w1 >= Wt:
+        # Folded-W1 table [C | C·P·(I+W1)] (built by the wrapper when
+        # there is no low-rank factor): the candidate half of the concat
+        # layer collapsed into the h slice, since
+        #   h = h0 + h0·W1 + cond·W2 + b = h0·(I+W1) + cond·W2 + b.
+        # One 128-lane fetch column replaces the CP and CP·W1 columns —
+        # a third fewer fetch-matmul passes and a third less ext VMEM.
+        cc_cond = jnp.dot(
+            xh.astype(dt), w2_ref[:].astype(dt),
             preferred_element_type=jnp.float32,
-        )
-    h = h + (cc + concat_b_ref[0, :]).astype(dt)
+        )  # (R, De)
+        cw = cc_cond.shape[1]
+        h = (
+            ext[:, off_h:]
+            + jnp.broadcast_to(
+                (cc_cond + concat_b_ref[0, :])[None], (A, R, cw)
+            ).reshape(A * R, cw)
+        ).astype(dt)
+    else:
+        h = ext[:, off_h:off_w1].astype(dt) if off_h else cand.astype(dt)
+        w1h = ext[:, off_w1:]  # (A·R, cw_out)
+
+        # Condition half of the concat layer on the R condition rows only.
+        cw = w1h.shape[1]
+        cc_cond = jnp.dot(
+            xh.astype(dt), w2_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (R, cw_out)
+        cc = w1h + jnp.broadcast_to(
+            cc_cond[None], (A, R, cw)
+        ).reshape(A * R, cw)
+        if concat_w2_ref is not None:  # QINCo-LR low-rank factor
+            cc = jnp.dot(
+                cc.astype(dt), concat_w2_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        h = h + (cc + concat_b_ref[0, :]).astype(dt)
 
     for l in range(spec.L):
         up = jnp.dot(
@@ -356,18 +385,26 @@ def fused_substep_scores_pallas(
     h_w = in_proj.shape[1] if in_proj is not None else D
     w1 = concat_w[:h_w]
     w2 = concat_w[h_w:]  # condition half, passed separately
-    pieces = [codebook]
     if in_proj is not None:
         cp = jnp.dot(codebook.astype(dt), in_proj.astype(dt),
                      preferred_element_type=jnp.float32)
-        pieces.append(cp)
-        off_h = D
     else:
         cp = codebook
-        off_h = 0  # h-init aliases the raw-codeword slice
-    pieces.append(jnp.dot(cp.astype(dt), w1.astype(dt),
-                          preferred_element_type=jnp.float32))
-    off_w1 = D + (h_w if in_proj is not None else 0)
+    cpw1 = jnp.dot(cp.astype(dt), w1.astype(dt),
+                   preferred_element_type=jnp.float32)
+    if concat_w2 is None:
+        # Fold W1 into the h column: h = h0·(I+W1) + cond·W2 + b (see the
+        # kernel docstring) — table [C | C·P·(I+W1)], off_w1 == width
+        # signals the folded layout.  (With the low-rank factor the W1
+        # product must stay separate: it passes through concat_w2 before
+        # joining the residual stream.)
+        pieces = [codebook, cp + cpw1]
+        off_h = D
+        off_w1 = D + h_w
+    else:
+        pieces = [codebook] + ([cp] if in_proj is not None else []) + [cpw1]
+        off_h = D if in_proj is not None else 0
+        off_w1 = D + (h_w if in_proj is not None else 0)
     table = jnp.concatenate(pieces, axis=1)  # (K, Wt)
 
     def row_spec(width, rows=row_tile):
