@@ -95,20 +95,25 @@ def decompose_ivf_codebook(
 
 
 @functools.partial(jax.jit, static_argnames=("K2",))
-def _fit_pair_book(codes_comb, resid, K2):
+def _fit_pair_book(codes_comb, resid, K2, shrink=0.0):
     """Conditional-mean codebook over combined codes
-    (reference: build_combined_codebook, :100-110)."""
+    (reference: build_combined_codebook, :100-110).
+
+    ``shrink`` adds a pseudo-count to every bin, shrinking sparse-bin
+    means toward zero (the residual is zero-mean after earlier books).
+    The reference's unregularized fit (shrink=0) overfits when K^2 bins
+    see only a handful of training rows each."""
     counts = jax.ops.segment_sum(
         jnp.ones((len(codes_comb),), jnp.float32), codes_comb, num_segments=K2
     )
     sums = jax.ops.segment_sum(resid, codes_comb, num_segments=K2)
-    book = sums / jnp.maximum(counts, 1.0)[:, None]
+    book = sums / jnp.maximum(counts + shrink, 1.0)[:, None]
     return book
 
 
 @functools.partial(jax.jit, static_argnames=("K2", "n_eval"))
-def _pair_error(codes_comb, resid, K2, n_eval):
-    book = _fit_pair_book(codes_comb, resid, K2)
+def _pair_error(codes_comb, resid, K2, n_eval, shrink=0.0):
+    book = _fit_pair_book(codes_comb, resid, K2, shrink)
     r = resid[:n_eval] - book[codes_comb[:n_eval]]
     return jnp.sum(r * r) / n_eval
 
@@ -203,6 +208,7 @@ def train_pairwise_decoder(
     K_base: int,
     M_target: int,
     seed: int = 0,
+    shrinkage: float = 0.0,
     verbose: bool = True,
     log=print,
 ) -> PairwiseDecoder:
@@ -231,12 +237,12 @@ def train_pairwise_decoder(
         best = (np.inf, None)
         for m1, m2 in pairs_all:
             comb = jnp.asarray(all_codes[m1] * K_base + all_codes[m2])
-            err = float(_pair_error(comb, resid_j, K2, n_eval))
+            err = float(_pair_error(comb, resid_j, K2, n_eval, shrinkage))
             if err < best[0]:
                 best = (err, (m1, m2))
         m1, m2 = best[1]
         comb = jnp.asarray(all_codes[m1] * K_base + all_codes[m2])
-        book = _fit_pair_book(comb, resid_j, K2)
+        book = _fit_pair_book(comb, resid_j, K2, shrinkage)
         resid_j = resid_j - book[comb]
         books.append(np.asarray(book))
         sel_pairs.append((m1, m2))
@@ -287,6 +293,7 @@ def run_train_pairwise_decoder(task):
         K_base=cfg.K,
         M_target=M_target,
         seed=cfg.seed,
+        shrinkage=float(cfg.pairwise_shrinkage),
         verbose=cfg.verbose,
         log=task.print,
     )

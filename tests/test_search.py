@@ -166,6 +166,41 @@ def test_pairwise_decoder_trains_and_roundtrips(tmp_path):
     np.testing.assert_allclose(rec, rec2, rtol=1e-5, atol=1e-5)
 
 
+def test_pairwise_decoder_shrinkage_helps_sparse_bins():
+    """With K^2 bins seeing only a few rows each, the unregularized
+    conditional-mean fit (reference behavior, shrinkage=0) overfits;
+    additive smoothing must improve held-out reconstruction."""
+    from qinco_tpu.search.pairwise_decoder import train_pairwise_decoder
+
+    rng = np.random.default_rng(1)
+    IVF_K, K_base, M_base, D = 64, 16, 3, 8
+    B_train, B_val = 3000, 3000  # ~12 rows per K^2=256 bin
+    step_books = rng.normal(size=(M_base, K_base, D)).astype(np.float32)
+    ivf_centroids = rng.normal(size=(IVF_K, D)).astype(np.float32)
+
+    def make(B):
+        codes = rng.integers(0, K_base, size=(M_base, B))
+        ivf = rng.integers(0, IVF_K, size=B)
+        resid = sum(step_books[m][codes[m]] for m in range(M_base))
+        # heavy noise: sparse bins memorize it without shrinkage
+        resid = resid + 2.0 * rng.normal(size=(B, D))
+        return codes, ivf, resid.astype(np.float32)
+
+    tr_codes, tr_ivf, tr_resid = make(B_train)
+    va_codes, va_ivf, va_resid = make(B_val)
+
+    def val_mse(shrink):
+        dec = train_pairwise_decoder(
+            tr_codes, tr_ivf, tr_resid, ivf_centroids,
+            K_base=K_base, M_target=3, shrinkage=shrink, verbose=False,
+        )
+        rec = dec.decode(va_codes, va_ivf)
+        return ((rec - va_resid) ** 2).sum(-1).mean()
+
+    m0, m8 = val_mse(0.0), val_mse(8.0)
+    assert m8 < m0, (m0, m8)
+
+
 # ---------------------------------------------------------------------------
 # operating points
 # ---------------------------------------------------------------------------
