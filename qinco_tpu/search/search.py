@@ -100,8 +100,9 @@ def run_search_ivf(task):
     index = IvfIndex.load(cfg.index)
     params, spec = task.params, task.spec
     if str(cfg.search.get("coarse", "tpu")) == "hnsw":
-        log("Building native HNSW coarse quantizer (efConstruction=20)")
-        index.use_hnsw()
+        efc = int(cfg.search.get("quantizer_efConstruction", 20))
+        log(f"Building native HNSW coarse quantizer (efConstruction={efc})")
+        index.use_hnsw(ef_construction=efc)
 
     mid_reranker = None
     if cfg.pairwise_decoder:
