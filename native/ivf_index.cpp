@@ -183,6 +183,102 @@ void qivf_search(const IvfIndex* idx, int64_t nq, const int* probe_lists,
   }
 }
 
+// Split-LUT scan (the faiss IVFPQ "precomputed tables" trick applied to
+// the AQ LUT): the caller decomposes
+//
+//   LUT[q,p,m,k] = -2 (q - c_p) . C_m[k]
+//               = qterm[q,m,k] + cterm[list(p),m,k]
+//
+// with qterm = -2 q . C (per query, nprobe-independent) and
+// cterm = +2 c . C (per *centroid*, computed once per index).  The
+// (nq, nprobe, M, K) tensor — 2 GB at nq=4096, nprobe=64 — never
+// materializes; per (query, list) the two K-row tables are either
+// combined into a stack-local LUT (long lists: the entry loop then runs
+// exactly like qivf_search) or read directly (short lists, where the
+// M*K combine would dominate the scan itself).
+void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
+                       const float* qterm, const float* cterm,
+                       const float* bias, int nprobe, int nshort,
+                       int64_t* out_ids, int* out_codes, float* out_dists,
+                       int nthreads) {
+  const int M = idx->M;
+  const int K = idx->K;
+  const int64_t MK = (int64_t)M * K;
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> lut_buf(MK);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int64_t q = 0; q < nq; q++) {
+      std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+      const float* qt = qterm + q * MK;
+      for (int p = 0; p < nprobe; p++) {
+        int list_no = probe_lists[q * nprobe + p];
+        if (list_no < 0 || list_no >= idx->nlist) continue;
+        const InvList& lst = idx->lists[list_no];
+        const size_t n = lst.ids.size();
+        if (!n) continue;
+        const float* ct = cterm + (int64_t)list_no * MK;
+        const float b = bias[q * nprobe + p];
+        const uint8_t* codes = lst.codes.data();
+        if ((int64_t)n * 2 >= (int64_t)K) {
+          // Long list: combine once (vectorizable contiguous add), then
+          // scan with single lookups.
+          float* lut = lut_buf.data();
+          for (int64_t t = 0; t < MK; t++) lut[t] = qt[t] + ct[t];
+          for (size_t i = 0; i < n; i++) {
+            const uint8_t* c = codes + i * M;
+            float d = b + decode_norm(idx, lst.norms[i]);
+            for (int m = 0; m < M; m++) d += lut[m * K + c[m]];
+            if ((int)heap.size() < nshort) {
+              heap.push({d, lst.ids[i], list_no, c});
+            } else if (d < heap.top().dist) {
+              heap.pop();
+              heap.push({d, lst.ids[i], list_no, c});
+            }
+          }
+        } else {
+          // Short list: two lookups per code beat an M*K combine.
+          for (size_t i = 0; i < n; i++) {
+            const uint8_t* c = codes + i * M;
+            float d = b + decode_norm(idx, lst.norms[i]);
+            for (int m = 0; m < M; m++) {
+              const int o = m * K + c[m];
+              d += qt[o] + ct[o];
+            }
+            if ((int)heap.size() < nshort) {
+              heap.push({d, lst.ids[i], list_no, c});
+            } else if (d < heap.top().dist) {
+              heap.pop();
+              heap.push({d, lst.ids[i], list_no, c});
+            }
+          }
+        }
+      }
+      int n_found = (int)heap.size();
+      for (int r = n_found - 1; r >= 0; r--) {
+        const HeapEntry& e = heap.top();
+        out_ids[q * nshort + r] = e.id;
+        out_dists[q * nshort + r] = e.dist;
+        int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+        oc[0] = e.list_no;
+        for (int m = 0; m < M; m++) oc[m + 1] = e.code[m];
+        heap.pop();
+      }
+      for (int r = n_found; r < nshort; r++) {
+        out_ids[q * nshort + r] = -1;
+        out_dists[q * nshort + r] = HUGE_VALF;
+        int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+        for (int m = 0; m <= M; m++) oc[m] = 0;
+      }
+    }
+  }
+}
+
 // ---- serialization -------------------------------------------------------
 
 static const uint32_t QIVF_MAGIC = 0x51495646;  // "QIVF"

@@ -51,6 +51,14 @@ def _ensure_lib() -> ctypes.CDLL:
         c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
         c.c_int,
     ]
+    lib.qivf_search_split.argtypes = [
+        c.c_void_p, c.c_int64,
+        c.POINTER(c.c_int), c.POINTER(c.c_float), c.POINTER(c.c_float),
+        c.POINTER(c.c_float),
+        c.c_int, c.c_int,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
+        c.c_int,
+    ]
     lib.qivf_save.restype = c.c_int
     lib.qivf_save.argtypes = [c.c_void_p, c.c_char_p]
     lib.qivf_load.restype = c.c_void_p
@@ -148,6 +156,10 @@ class IvfIndex:
         self.codebooks = np.ascontiguousarray(codebooks, np.float32)  # (M,K,D)
         self.hnsw: HnswQuantizer | None = None
         self.ef_search = 16
+        # Split-LUT scan state (enable_split_lut): cterm (nlist, M, K) f32
+        # and the flattened (M*K, D) codebook used for qterm matmuls.
+        self._cterm: np.ndarray | None = None
+        self._cb2d: np.ndarray | None = None
 
     def use_hnsw(self, *, M: int = 32, ef_construction: int = 20,
                  ef_search: int = 16, seed: int = 0) -> None:
@@ -226,6 +238,61 @@ class IvfIndex:
             self.add_entries(int(sorted_lists[s]), ids[sel], codes[sel], norms[sel])
 
     # -- search -------------------------------------------------------------
+    def enable_split_lut(self, max_bytes: int = 4 << 30) -> bool:
+        """Precompute the per-centroid LUT half (faiss IVFPQ's
+        "precomputed tables" idea applied to the AQ LUT):
+
+            LUT[q,p,m,k] = -2 (q - c_p).C_m[k]
+                         = (-2 q.C_m[k]) + (+2 c_p.C_m[k])
+                         = qterm[q]      + cterm[list(p)]
+
+        so the scan never materializes the (nq, nprobe, M, K) tensor —
+        2 GB at nq=4096, nprobe=64 — and the per-batch LUT work drops
+        from nq·nprobe·M·K·D FLOPs to nq·M·K·D (nprobe-independent).
+        cterm is (nlist, M, K) f32, computed once per index; returns
+        False (and leaves the classic path active) when that exceeds
+        ``max_bytes`` (2^20 lists x 8 x 256 = 8 GB).  Exact up to f32
+        addition order.
+        """
+        nlist = self.nlist
+        M, K, D = self.codebooks.shape
+        if nlist * M * K * 4 > max_bytes:
+            return False
+        self._cb2d = np.ascontiguousarray(
+            self.codebooks.reshape(M * K, D), np.float32
+        )
+        # (nlist, D) @ (D, M*K): one BLAS call, ~nlist·M·K·D FLOPs.
+        self._cterm = np.ascontiguousarray(
+            2.0 * (self.ivf_centroids @ self._cb2d.T), np.float32
+        )
+        return True
+
+    def scan_split(
+        self,
+        probe_lists: np.ndarray,  # (nq, nprobe) int32
+        qterm: np.ndarray,  # (nq, M, K) f32 = -2 q.C
+        bias: np.ndarray,  # (nq, nprobe) f32
+        nshort: int,
+        nthreads: int = 0,
+    ):
+        assert self._cterm is not None, "call enable_split_lut() first"
+        nq, nprobe = probe_lists.shape
+        probe_lists = np.ascontiguousarray(probe_lists, np.int32)
+        qterm = np.ascontiguousarray(qterm, np.float32)
+        bias = np.ascontiguousarray(bias, np.float32)
+        out_ids = np.empty((nq, nshort), np.int64)
+        out_codes = np.empty((nq, nshort, self.M + 1), np.int32)
+        out_dists = np.empty((nq, nshort), np.float32)
+        self._lib.qivf_search_split(
+            self._h, nq,
+            _ptr(probe_lists, ctypes.c_int), _ptr(qterm, ctypes.c_float),
+            _ptr(self._cterm, ctypes.c_float),
+            _ptr(bias, ctypes.c_float), nprobe, nshort,
+            _ptr(out_ids, ctypes.c_int64), _ptr(out_codes, ctypes.c_int),
+            _ptr(out_dists, ctypes.c_float), nthreads,
+        )
+        return out_ids, out_codes, out_dists
+
     def scan(
         self,
         probe_lists: np.ndarray,  # (nq, nprobe) int32
@@ -255,7 +322,12 @@ class IvfIndex:
         coarse_batch: int = 8192,
     ):
         """Full search: TPU coarse probe + LUTs, native scan
-        (reference contract: search_tasks.py:419-424)."""
+        (reference contract: search_tasks.py:419-424).
+
+        With split LUTs enabled (enable_split_lut) the per-chunk LUT is
+        a single (nq, M·K) matmul on the host and only qterm — 33 MB at
+        nq=4096 vs 2 GB for the classic (nq, nprobe, M, K) tensor at
+        nprobe=64 — is handed to the native scan."""
         xq = np.asarray(xq, np.float32)
         out = []
         for i in range(0, len(xq), coarse_batch):
@@ -267,8 +339,17 @@ class IvfIndex:
                 )
             else:
                 probes, bias = coarse_probe(chunk, self.ivf_centroids, nprobe)
-            luts = build_luts(chunk, self.ivf_centroids, self.codebooks, probes)
-            out.append(self.scan(probes, luts, bias, nshort, nthreads))
+            if self._cterm is not None:
+                M, K, _ = self.codebooks.shape
+                qterm = (-2.0 * (chunk @ self._cb2d.T)).reshape(-1, M, K)
+                out.append(
+                    self.scan_split(probes, qterm, bias, nshort, nthreads)
+                )
+            else:
+                luts = build_luts(
+                    chunk, self.ivf_centroids, self.codebooks, probes
+                )
+                out.append(self.scan(probes, luts, bias, nshort, nthreads))
         ids = np.concatenate([o[0] for o in out])
         codes = np.concatenate([o[1] for o in out])
         dists = np.concatenate([o[2] for o in out])

@@ -103,6 +103,12 @@ def run_search_ivf(task):
         efc = int(cfg.search.get("quantizer_efConstruction", 20))
         log(f"Building native HNSW coarse quantizer (efConstruction={efc})")
         index.use_hnsw(ef_construction=efc)
+    if bool(cfg.search.get("split_lut", True)):
+        budget = int(float(cfg.search.get("split_lut_max_gb", 4)) * (1 << 30))
+        if index.enable_split_lut(max_bytes=budget):
+            log("Split-LUT scan enabled (precomputed per-centroid tables)")
+        else:
+            log("Split-LUT tables over budget; classic per-probe LUTs")
 
     mid_reranker = None
     if cfg.pairwise_decoder:

@@ -380,3 +380,66 @@ def test_pair_unpair_codes_roundtrip():
     assert paired.shape == (200, M // 2 + 1)
     assert paired[:, 1:].max() < K * K
     np.testing.assert_array_equal(unpair_codes_ivf(paired, K), codes)
+
+
+def test_split_lut_scan_matches_classic(ivf_setup):
+    """Split-LUT scan (qterm + precomputed cterm) returns the same
+    shortlists as the classic per-probe LUT scan — the decomposition
+    -2(q-c).C = -2q.C + 2c.C is exact up to f32 addition order.
+    ivf_setup's lists average ~78 entries (< K/2), exercising the
+    native double-lookup branch."""
+    s = ivf_setup
+    index = _build_index(s)
+    rng = np.random.default_rng(2)
+    xq = (s["vectors"][:48] + 0.01 * rng.normal(size=(48, s["D"]))).astype(
+        np.float32
+    )
+    d0, i0, c0 = index.search_and_return_codes(xq, 10, nprobe=8)
+    assert index.enable_split_lut()
+    d1, i1, c1 = index.search_and_return_codes(xq, 10, nprobe=8)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-3)
+    # ids may swap only on f32 ties; require near-total agreement
+    assert (i0 == i1).mean() > 0.99
+    np.testing.assert_array_equal(c0[i0 == i1], c1[i0 == i1])
+
+
+def test_split_lut_scan_long_list_branch():
+    """Few big lists (n >= K/2 entries each) drive the native
+    combine-then-scan branch; results must match the classic scan."""
+    rng = np.random.default_rng(3)
+    nlist, D, M, K = 4, 8, 2, 16
+    centroids = rng.normal(size=(nlist, D)).astype(np.float32) * 4
+    books = rng.normal(size=(M, K, D)).astype(np.float32) * 0.5
+    n = 600  # 150 entries/list >= K/2 = 8
+    list_nos = rng.integers(0, nlist, size=n)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.uint8)
+    recons = np.zeros((n, D), np.float32)
+    for m in range(M):
+        recons += books[m][codes[:, m]]
+    vectors = centroids[list_nos] + recons
+
+    from qinco_tpu.search.index import IvfIndex
+
+    index = IvfIndex.build(centroids, books)
+    norms = (recons**2).sum(-1)
+    index.train_norm(norms)
+    index.add_batch(np.arange(n, dtype=np.int64), list_nos, codes, norms)
+
+    xq = (vectors[:16] + 0.01 * rng.normal(size=(16, D))).astype(np.float32)
+    d0, i0, _ = index.search_and_return_codes(xq, 5, nprobe=nlist)
+    assert index.enable_split_lut()
+    d1, i1, _ = index.search_and_return_codes(xq, 5, nprobe=nlist)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-3)
+    assert (i0 == i1).mean() > 0.99
+
+
+def test_split_lut_budget_gate():
+    """enable_split_lut refuses when the cterm table exceeds the budget."""
+    rng = np.random.default_rng(4)
+    from qinco_tpu.search.index import IvfIndex
+
+    centroids = rng.normal(size=(32, 8)).astype(np.float32)
+    books = rng.normal(size=(2, 16, 8)).astype(np.float32)
+    index = IvfIndex.build(centroids, books)
+    assert not index.enable_split_lut(max_bytes=100)
+    assert index._cterm is None
