@@ -279,6 +279,123 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
   }
 }
 
+// Pairwise-decoder table accumulation: out[i] = sum_t books[t][comb[t][i]]
+// (reference: pairwise_decoder.py:88-93 — a torch JIT lookup loop).  The
+// op is a pure gather-accumulate, memory-bound on the random table-row
+// reads; one OpenMP row range per thread, accumulation in registers, no
+// (B, D) intermediates per table (the XLA CPU scan materializes one per
+// step — ~2x the traffic).
+// Processed book-major over row *blocks*: a naive per-row loop touches
+// all T tables (T * K2 * D * 4 bytes, hundreds of MB) per row and
+// thrashes the cache; iterating books in the outer loop keeps one
+// table's hot rows cached while the block accumulator (BLOCK * D f32,
+// ~2 MB) stays L2-resident.  The combined code c = src0 * K_base + src1
+// is formed inline from the source-code rows (building the (T, B)
+// combined-code array in numpy costs more than the whole kernel).
+// Source codes are resolved inline (building the (S, B) source matrix
+// or the (T, B) combined-code matrix in numpy costs more than the whole
+// kernel): source s < M_base reads the model-code row, s >= M_base
+// reads column s - M_base of the per-IVF-code small-codes map.
+//   codes_MB:     (M_base, B) int32 model codes
+//   ivf_codes:    (B,) int32
+//   ivf_code_map: (n_map, ivf_m) int32
+//   pairs:        (2, T) int32 source indices per target book
+void qpw_decode(const float* books, const int* codes_MB, const int* ivf_codes,
+                const int* ivf_code_map, int ivf_m, int M_base, int K_base,
+                const int* pairs, int T, int64_t B, int K2, int D,
+                float* out, int nthreads) {
+  constexpr int64_t BLOCK = 4096;
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int64_t b0 = 0; b0 < B; b0 += BLOCK) {
+    const int64_t n = std::min(BLOCK, B - b0);
+    float* o0 = out + b0 * D;
+    std::memset(o0, 0, sizeof(float) * n * D);
+    for (int t = 0; t < T; t++) {
+      const float* book = books + (int64_t)t * K2 * D;
+      const int s0 = pairs[t], s1 = pairs[T + t];
+      auto src = [&](int s, int64_t i) -> int {
+        return s < M_base
+                   ? codes_MB[(int64_t)s * B + b0 + i]
+                   : ivf_code_map[(int64_t)ivf_codes[b0 + i] * ivf_m +
+                                  (s - M_base)];
+      };
+      for (int64_t i = 0; i < n; i++) {
+        const int c = src(s0, i) * K_base + src(s1, i);
+        const float* row = book + (int64_t)c * D;
+        float* o = o0 + i * D;
+        for (int d = 0; d < D; d++) o[d] += row[d];
+      }
+    }
+  }
+}
+
+// Fused mid-rerank scoring: for shortlist entry i of query q = i / nmid,
+//
+//   score[i] = || xq[q] - (cents[ivf_i] + sum_t books[t][pair-code_t]) ||^2
+//
+// The decoded vectors exist only inside a cache-blocked accumulator —
+// the (B, D) shortlist (600 MB at nq=4096, nmid=300) never
+// materializes; the mid-rerank only ever ranks on these scores
+// (reference: search_tasks.py:448-471 decodes, adds the centroid, and
+// computes distances in three full passes).
+//   codes: (B, M_base + 1) int32, column 0 = IVF code (the native
+//          scan's output layout, used zero-copy)
+void qpw_score(const float* books, const int* codes, const int* ivf_code_map,
+               int ivf_m, int M_base, int K_base, const int* pairs, int T,
+               int K2, int D, const float* cents, const float* xq,
+               int64_t nmid, int64_t B, float* out, int nthreads) {
+  constexpr int64_t BLOCK = 2048;
+  const int C = M_base + 1;
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> acc(BLOCK * D);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int64_t b0 = 0; b0 < B; b0 += BLOCK) {
+      const int64_t n = std::min(BLOCK, B - b0);
+      // init with the coarse centroid of each entry's list
+      for (int64_t i = 0; i < n; i++) {
+        const int lv = codes[(b0 + i) * C];
+        std::memcpy(acc.data() + i * D, cents + (int64_t)lv * D,
+                    sizeof(float) * D);
+      }
+      for (int t = 0; t < T; t++) {
+        const float* book = books + (int64_t)t * K2 * D;
+        const int s0 = pairs[t], s1 = pairs[T + t];
+        auto src = [&](int s, int64_t i) -> int {
+          const int* row = codes + (b0 + i) * C;
+          return s < M_base
+                     ? row[1 + s]
+                     : ivf_code_map[(int64_t)row[0] * ivf_m + (s - M_base)];
+        };
+        for (int64_t i = 0; i < n; i++) {
+          const int c = src(s0, i) * K_base + src(s1, i);
+          const float* brow = book + (int64_t)c * D;
+          float* o = acc.data() + i * D;
+          for (int d = 0; d < D; d++) o[d] += brow[d];
+        }
+      }
+      for (int64_t i = 0; i < n; i++) {
+        const float* q = xq + ((b0 + i) / nmid) * D;
+        const float* o = acc.data() + i * D;
+        float s = 0.f;
+        for (int d = 0; d < D; d++) {
+          const float t2 = q[d] - o[d];
+          s += t2 * t2;
+        }
+        out[b0 + i] = s;
+      }
+    }
+  }
+}
+
 // ---- serialization -------------------------------------------------------
 
 static const uint32_t QIVF_MAGIC = 0x51495646;  // "QIVF"

@@ -59,6 +59,20 @@ def _ensure_lib() -> ctypes.CDLL:
         c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
         c.c_int,
     ]
+    lib.qpw_decode.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int), c.POINTER(c.c_int),
+        c.POINTER(c.c_int), c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int), c.c_int, c.c_int64, c.c_int, c.c_int,
+        c.POINTER(c.c_float), c.c_int,
+    ]
+    lib.qpw_score.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int), c.POINTER(c.c_int),
+        c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int), c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_float), c.POINTER(c.c_float),
+        c.c_int64, c.c_int64,
+        c.POINTER(c.c_float), c.c_int,
+    ]
     lib.qivf_save.restype = c.c_int
     lib.qivf_save.argtypes = [c.c_void_p, c.c_char_p]
     lib.qivf_load.restype = c.c_void_p

@@ -167,7 +167,14 @@ class PairwiseDecoder:
 
     def decode(self, codes_MB: np.ndarray, ivf_codes: np.ndarray) -> np.ndarray:
         """Residual reconstruction past the IVF centroid
-        (reference: forward + map_codes, :88-93,126-130)."""
+        (reference: forward + map_codes, :88-93,126-130).
+
+        On an accelerator backend the K²-table gathers run on device
+        (tables cached resident); on the CPU backend the native OpenMP
+        gather-accumulate kernel (native/ivf_index.cpp:qpw_decode) does
+        the same sum with half the memory traffic of the XLA scan."""
+        if jax.default_backend() == "cpu":
+            return self.decode_native(codes_MB, ivf_codes)
         books, pairs, code_map = self._device_tables()
         return np.asarray(
             pairwise_decode(
@@ -179,6 +186,95 @@ class PairwiseDecoder:
                 self.K_base,
             )
         )
+
+    def decode_native(
+        self, codes_MB: np.ndarray, ivf_codes: np.ndarray, nthreads: int = 0
+    ) -> np.ndarray:
+        """CPU decode through the native kernel; bit-compatible table sum
+        (same accumulation order as the jitted scan)."""
+        import ctypes
+
+        from .index import _ptr, get_lib
+
+        codes_MB = np.ascontiguousarray(codes_MB, np.int32)  # (M_base, B)
+        ivf_codes = np.ascontiguousarray(ivf_codes, np.int32)  # (B,)
+        code_map = self._code_map_i32c()  # (n_map, ivf_m)
+        pairs = np.ascontiguousarray(self.pairs, np.int32)  # (2, T)
+        books = self._books_f32c()
+        T, K2, D = books.shape
+        B = codes_MB.shape[1]
+        out = np.empty((B, D), np.float32)
+        get_lib().qpw_decode(
+            _ptr(books, ctypes.c_float), _ptr(codes_MB, ctypes.c_int),
+            _ptr(ivf_codes, ctypes.c_int), _ptr(code_map, ctypes.c_int),
+            code_map.shape[1], self.M_base, self.K_base,
+            _ptr(pairs, ctypes.c_int), T, B, K2, D,
+            _ptr(out, ctypes.c_float), nthreads,
+        )
+        return out
+
+    def scores(
+        self,
+        xq: np.ndarray,  # (nq, D)
+        codes_int32: np.ndarray,  # (nq * nmid, M_base + 1), col 0 = IVF code
+        centroids: np.ndarray,  # (nlist, D)
+        nmid: int,
+        nthreads: int = 0,
+    ) -> np.ndarray:
+        """Fused mid-rerank scoring: squared distance of each query to
+        the pairwise-decoded reconstruction (centroid + residual) of its
+        nmid shortlist entries, (nq, nmid) f32.  The decoded (B, D)
+        shortlist never materializes (the reference decodes, adds the
+        centroid and computes distances in three passes,
+        search_tasks.py:448-471).  Native OpenMP kernel on the CPU
+        backend; one fused jit on accelerators."""
+        nq = len(xq)
+        if jax.default_backend() == "cpu":
+            import ctypes
+
+            from .index import _ptr, get_lib
+
+            codes_int32 = np.ascontiguousarray(codes_int32, np.int32)
+            xq = np.ascontiguousarray(xq, np.float32)
+            cents = np.ascontiguousarray(centroids, np.float32)
+            books = self._books_f32c()
+            code_map = self._code_map_i32c()
+            pairs = np.ascontiguousarray(self.pairs, np.int32)
+            T, K2, D = books.shape
+            B = codes_int32.shape[0]
+            assert B == nq * nmid and codes_int32.shape[1] == self.M_base + 1
+            out = np.empty((B,), np.float32)
+            get_lib().qpw_score(
+                _ptr(books, ctypes.c_float), _ptr(codes_int32, ctypes.c_int),
+                _ptr(code_map, ctypes.c_int), code_map.shape[1], self.M_base,
+                self.K_base, _ptr(pairs, ctypes.c_int), T, K2, D,
+                _ptr(cents, ctypes.c_float), _ptr(xq, ctypes.c_float),
+                nmid, B, _ptr(out, ctypes.c_float), nthreads,
+            )
+            return out.reshape(nq, nmid)
+        books, pairs, code_map = self._device_tables()
+        return np.asarray(
+            pairwise_scores(
+                books, pairs, code_map,
+                jnp.asarray(codes_int32[:, 1:].T, jnp.int32),
+                jnp.asarray(codes_int32[:, 0], jnp.int32),
+                jnp.asarray(centroids), jnp.asarray(xq), self.K_base, nmid,
+            )
+        )
+
+    def _books_f32c(self) -> np.ndarray:
+        cached = getattr(self, "_books_c", None)
+        if cached is None:
+            cached = np.ascontiguousarray(self.books, np.float32)
+            object.__setattr__(self, "_books_c", cached)
+        return cached
+
+    def _code_map_i32c(self) -> np.ndarray:
+        cached = getattr(self, "_code_map_c", None)
+        if cached is None:
+            cached = np.ascontiguousarray(self.ivf_code_map, np.int32)
+            object.__setattr__(self, "_code_map_c", cached)
+        return cached
 
 
 @functools.partial(jax.jit, static_argnames=("K_base",))
@@ -197,6 +293,22 @@ def pairwise_decode(books, pairs, ivf_code_map, codes_MB, ivf_codes, K_base):
         (books, comb),
     )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("K_base", "nmid"))
+def pairwise_scores(
+    books, pairs, ivf_code_map, codes_MB, ivf_codes, centroids, xq,
+    K_base, nmid,
+):
+    """Device-fused mid-rerank scores (nq, nmid): decode + centroid add
+    + squared distance in one jit — the decoded shortlist stays on
+    device and only the scores come back."""
+    xhat = pairwise_decode(
+        books, pairs, ivf_code_map, codes_MB, ivf_codes, K_base
+    )
+    xhat = xhat + centroids[ivf_codes]
+    q = jnp.repeat(xq, nmid, axis=0)  # (nq*nmid, D)
+    return jnp.sum((q - xhat) ** 2, axis=-1).reshape(len(xq), nmid)
 
 
 def train_pairwise_decoder(

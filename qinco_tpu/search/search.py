@@ -179,16 +179,13 @@ def run_search_ivf(task):
         # Part 3: pairwise mid-rerank nmid -> nshort
         if nshort < n_short_ivf and mid_reranker is not None:
             with exp_timers.mid_rerank:
-                shortlist = mid_reranker.decode(
-                    codes_int32[:, 1:].T, codes_int32[:, 0]
+                # Fused scoring: decode + centroid add + query distance in
+                # one pass (native kernel on CPU, one jit on device) — the
+                # (nq * nmid, D) decoded shortlist never materializes.
+                D_ref = mid_reranker.scores(
+                    xq, codes_int32, index.ivf_centroids, n_short_ivf,
+                    nthreads=cfg.search.nthreads,
                 )
-                shortlist = shortlist + index.ivf_centroids[codes_int32[:, 0]]
-                shortlist = shortlist.reshape(nq, n_short_ivf, d)
-                D_ref = np.asarray(
-                    batch_sqdist_partial(
-                        jnp.asarray(xq[:, None, :]), jnp.asarray(shortlist)
-                    )
-                ).reshape(nq, n_short_ivf)
                 idx = np.argsort(D_ref, axis=1)
                 codes_int32 = np.take_along_axis(
                     codes_int32.reshape(nq, n_short_ivf, M + 1),

@@ -443,3 +443,79 @@ def test_split_lut_budget_gate():
     index = IvfIndex.build(centroids, books)
     assert not index.enable_split_lut(max_bytes=100)
     assert index._cterm is None
+
+
+def test_pairwise_native_decode_matches_jax(tmp_path):
+    """The native OpenMP gather-accumulate (qpw_decode) matches the
+    jitted scan decode on the same tables."""
+    import jax
+
+    from qinco_tpu.search.pairwise_decoder import (
+        PairwiseDecoder,
+        pairwise_decode,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    K_base, M_base, ivf_m, n_pair, D = 8, 4, 2, 3, 16
+    M_target = n_pair
+    books = rng.normal(size=(M_target, K_base**2, D)).astype(np.float32)
+    srcs = M_base + ivf_m
+    pairs = np.stack(
+        [rng.integers(0, srcs, size=M_target),
+         rng.integers(0, srcs, size=M_target)]
+    ).astype(np.int64)
+    ivf_code_map = rng.integers(0, K_base, size=(32, ivf_m)).astype(np.int64)
+    dec = PairwiseDecoder(
+        books=books, pairs=pairs,
+        ivf_small_books=np.zeros((ivf_m, K_base, D), np.float32),
+        ivf_code_map=ivf_code_map, K_base=K_base, M_base=M_base,
+    )
+    B = 257
+    codes = rng.integers(0, K_base, size=(M_base, B))
+    ivf_codes = rng.integers(0, 32, size=B)
+    ref = np.asarray(
+        pairwise_decode(
+            jnp.asarray(books), jnp.asarray(pairs), jnp.asarray(ivf_code_map),
+            jnp.asarray(codes, jnp.int32), jnp.asarray(ivf_codes, jnp.int32),
+            K_base,
+        )
+    )
+    out = dec.decode_native(codes, ivf_codes)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pairwise_scores_matches_decode_path():
+    """Fused mid-rerank scores == decode + centroid add + sqdist."""
+    from qinco_tpu.search.pairwise_decoder import PairwiseDecoder
+
+    rng = np.random.default_rng(6)
+    K_base, M_base, ivf_m, n_pair, D, nlist = 8, 4, 2, 5, 16, 32
+    M_target = n_pair
+    books = rng.normal(size=(M_target, K_base**2, D)).astype(np.float32)
+    srcs = M_base + ivf_m
+    pairs = np.stack(
+        [rng.integers(0, srcs, size=M_target),
+         rng.integers(0, srcs, size=M_target)]
+    ).astype(np.int64)
+    code_map = rng.integers(0, K_base, size=(nlist, ivf_m)).astype(np.int64)
+    cents = rng.normal(size=(nlist, D)).astype(np.float32)
+    dec = PairwiseDecoder(
+        books=books, pairs=pairs,
+        ivf_small_books=np.zeros((ivf_m, K_base, D), np.float32),
+        ivf_code_map=code_map, K_base=K_base, M_base=M_base,
+    )
+    nq, nmid = 7, 33
+    B = nq * nmid
+    codes = np.concatenate(
+        [rng.integers(0, nlist, size=(B, 1)),
+         rng.integers(0, K_base, size=(B, M_base))], axis=1
+    ).astype(np.int32)
+    xq = rng.normal(size=(nq, D)).astype(np.float32)
+
+    got = dec.scores(xq, codes, cents, nmid)
+    recon = dec.decode_native(codes[:, 1:].T, codes[:, 0]) + cents[codes[:, 0]]
+    want = (
+        ((np.repeat(xq, nmid, axis=0) - recon) ** 2).sum(-1).reshape(nq, nmid)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
