@@ -44,6 +44,12 @@ class QincoSpec:
     # drop some runner-up candidates.  Requires pallas + power-of-2
     # K <= 256 with A | K.
     fused_substep: bool = False
+    # Accumulate the fused kernel's FFN matmuls in the compute dtype
+    # (bf16) instead of f32: halves the VREG traffic between MXU ops and
+    # the activation VMEM, letting the row tile double.  Candidate
+    # *ranking* absorbs the extra rounding (winners are recomputed
+    # exactly); opt-in, MSE delta validated in tests/bench.
+    bf16_acc: bool = False
 
     # ---- derived sizes ---------------------------------------------------
     @property
@@ -121,4 +127,5 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         fast=bool(cfg.get("fast_encode", False)),
         pallas=bool(cfg.get("pallas", False)),
         fused_substep=bool(cfg.get("fused_substep", False)),
+        bf16_acc=bool(cfg.get("bf16_acc", False)),
     )

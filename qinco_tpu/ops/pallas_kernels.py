@@ -309,13 +309,17 @@ def _fused_substep_kernel(
             )
         h = h + (cc + concat_b_ref[0, :]).astype(dt)
 
+    # FFN accumulation dtype: f32 by default; spec.bf16_acc keeps the
+    # whole residual stream in the compute dtype (winners recomputed
+    # exactly outside, so only candidate *ranking* sees the rounding).
+    acc_t = dt if spec.bf16_acc else jnp.float32
     for l in range(spec.L):
         up = jnp.dot(
-            h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
+            h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
         )
         up = jnp.maximum(up, 0.0).astype(dt)
         down = jnp.dot(
-            up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
+            up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
         )
         h = h + down.astype(dt)
 
