@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""One-dial TPU measurement session.
+
+The axon relay dial costs 30s-4min per interpreter, so this script
+batches everything a perf session needs into one process:
+
+  1. bench           : QINCo2-S encode throughput (bench.py protocol)
+  2. bf16_acc A/B    : fused profile vs spec.bf16_acc=True (+row tiles)
+  3. mse             : production-shape MSE deltas exact/fused/bf16_acc
+  4. profile         : per-component timings (kernel / topk / recompute)
+
+Usage: python scripts/tpu_session.py [--steps bench,ab,mse,profile]
+Writes JSON lines to stdout and a summary to --out (default
+/tmp/tpu_session.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+RESULTS = {}
+
+
+def log(k, v):
+    RESULTS[k] = v
+    print(json.dumps({k: v}), flush=True)
+
+
+def _throughput(spec, batch=4096, n_iter=8, seed=0):
+    """vec/s with the scan-readback protocol (bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qinco_tpu.models import init_params
+    from qinco_tpu.models.qinco import encode as encode_n
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+
+    @jax.jit
+    def encode_many(params, xs):
+        def body(_, x):
+            codes, _, _ = encode_n(params, spec, x)
+            return None, codes.sum()
+
+        _, sums = jax.lax.scan(body, None, xs)
+        return sums.sum()
+
+    xs = jnp.asarray(
+        np.random.default_rng(seed)
+        .normal(size=(n_iter, batch, spec.D))
+        .astype(np.float32)
+    )
+    float(encode_many(params, xs))  # compile + warm
+    t0 = time.perf_counter()
+    float(encode_many(params, xs))
+    dt = time.perf_counter() - t0
+    return batch * n_iter / dt
+
+
+def _mse(spec, batch=4096, seed=1):
+    import jax
+    import jax.numpy as jnp
+
+    from qinco_tpu.models import init_params
+    from qinco_tpu.models.qinco import encode
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(batch, spec.D)).astype(np.float32)
+    )
+    _, xhat, _ = encode(params, spec, x)
+    return float(jnp.mean(jnp.sum((x - xhat) ** 2, -1)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=str, default="bench,ab,mse")
+    ap.add_argument("--out", type=str, default="/tmp/tpu_session.json")
+    args = ap.parse_args()
+    steps = set(args.steps.split(","))
+
+    import jax
+
+    from qinco_tpu.models.spec import QincoSpec
+
+    log("backend", jax.default_backend())
+    base = QincoSpec(
+        D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
+        fast=True, pallas=True, fused_substep=True,
+        compute_dtype="bfloat16",
+    )
+
+    if "bench" in steps:
+        log("fused_vec_per_s", round(_throughput(base), 1))
+
+    if "ab" in steps:
+        log("bf16acc_vec_per_s", round(_throughput(base.with_(bf16_acc=True)), 1))
+        # second sample of the baseline to bound session noise
+        log("fused_vec_per_s_2", round(_throughput(base, seed=2), 1))
+
+    if "mse" in steps:
+        exact = base.with_(fast=False, pallas=False, fused_substep=False,
+                           compute_dtype="float32")
+        m_exact = _mse(exact)
+        m_fused = _mse(base)
+        m_bf16 = _mse(base.with_(bf16_acc=True))
+        log("mse_exact", m_exact)
+        log("mse_fused", m_fused)
+        log("mse_bf16acc", m_bf16)
+        log("mse_fused_delta_pct", round(100 * (m_fused / m_exact - 1), 3))
+        log("mse_bf16acc_delta_pct", round(100 * (m_bf16 / m_exact - 1), 3))
+
+    if "profile" in steps:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "scripts/profile_encode.py", "--iters", "10"],
+            capture_output=True, text=True, cwd=Path(__file__).parent.parent,
+        )
+        log("profile_stdout", r.stdout.strip().splitlines()[-12:])
+
+    Path(args.out).write_text(json.dumps(RESULTS, indent=1))
+    print("wrote", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
