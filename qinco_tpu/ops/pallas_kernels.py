@@ -157,6 +157,7 @@ def _fused_substep_kernel(
     off_h: int,  # lane offset of the h-init slice in the fused table
     off_w1: int,  # lane offset of the W1·h slice (== table width when the
     #               W1 product is folded into the h slice, see below)
+    off_up: int,  # lane offset of the first-FFN-up slice (0 = not folded)
     x_ref,  # (R/beams, D) per-vector targets
     xh_ref,  # (R, D)
     sub_codebook_ref,  # (K, D)
@@ -271,7 +272,43 @@ def _fused_substep_kernel(
     )  # (A·R, Wt) dt: [cand | h-init | W1·h]
     cand = ext[:, :D]
     Wt = ext.shape[1]
-    if off_w1 >= Wt:
+    # FFN accumulation dtype (see below); needed early by the up-fold.
+    acc_t = dt if spec.bf16_acc else jnp.float32
+    start_l = 0
+    if off_up:
+        # Folded-W1 + folded-first-up table
+        # [C | C·P·(I+W1) | C·P·(I+W1)·W_up0]: the first FFN block's
+        # up-projection splits linearly over h = h_cand + h_cond, and
+        # h_cand has only K distinct values per step — so its up product
+        # rides the fetch (G-wide contraction, 16x cheaper than the
+        # (A·R, De)@(De, Dh) matmul it deletes, ~24% of the kernel's MXU
+        # work) while the condition half runs on the R condition rows.
+        cc_cond = jnp.dot(
+            xh.astype(dt), w2_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (R, De)
+        ccb = cc_cond + concat_b_ref[0, :]  # (R, De) f32
+        cw = ccb.shape[1]
+        h_in = (
+            ext[:, off_h:off_up]
+            + jnp.broadcast_to(ccb[None], (A, R, cw)).reshape(A * R, cw)
+        ).astype(dt)
+        up_cond = jnp.dot(
+            ccb.astype(dt), ffn_up_ref[0].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (R, Dh)
+        dh = up_cond.shape[1]
+        up1 = jnp.maximum(
+            ext[:, off_up:]
+            + jnp.broadcast_to(up_cond[None], (A, R, dh)).reshape(A * R, dh),
+            0.0,
+        ).astype(dt)
+        down = jnp.dot(
+            up1, ffn_down_ref[0].astype(dt), preferred_element_type=acc_t
+        )
+        h = h_in + down.astype(dt)
+        start_l = 1
+    elif off_w1 >= Wt:
         # Folded-W1 table [C | C·P·(I+W1)] (built by the wrapper when
         # there is no low-rank factor): the candidate half of the concat
         # layer collapsed into the h slice, since
@@ -309,11 +346,10 @@ def _fused_substep_kernel(
             )
         h = h + (cc + concat_b_ref[0, :]).astype(dt)
 
-    # FFN accumulation dtype: f32 by default; spec.bf16_acc keeps the
+    # FFN accumulation in acc_t: f32 by default; spec.bf16_acc keeps the
     # whole residual stream in the compute dtype (winners recomputed
     # exactly outside, so only candidate *ranking* sees the rounding).
-    acc_t = dt if spec.bf16_acc else jnp.float32
-    for l in range(spec.L):
+    for l in range(start_l, spec.L):
         up = jnp.dot(
             h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
         )
@@ -396,15 +432,27 @@ def fused_substep_scores_pallas(
         cp = codebook
     cpw1 = jnp.dot(cp.astype(dt), w1.astype(dt),
                    preferred_element_type=jnp.float32)
+    off_up = 0
     if concat_w2 is None:
         # Fold W1 into the h column: h = h0·(I+W1) + cond·W2 + b (see the
         # kernel docstring) — table [C | C·P·(I+W1)], off_w1 == width
         # signals the folded layout.  (With the low-rank factor the W1
         # product must stay separate: it passes through concat_w2 before
         # joining the residual stream.)
-        pieces = [codebook, cp + cpw1]
+        h_cand = cp + cpw1
+        pieces = [codebook, h_cand]
         off_h = D
         off_w1 = D + h_w
+        if spec.L >= 1:
+            # Fold the first FFN up-projection of the candidate half too
+            # (see the kernel's off_up branch): K distinct values ride
+            # the fetch instead of an (A·R, De)@(De, Dh) matmul.
+            up_cand = jnp.dot(
+                h_cand.astype(dt), ffn_up[0].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            off_up = off_w1
+            pieces.append(up_cand)
     else:
         pieces = [codebook] + ([cp] if in_proj is not None else []) + [cpw1]
         off_h = D if in_proj is not None else 0
@@ -450,7 +498,7 @@ def fused_substep_scores_pallas(
         fd_r = next(it)
         op_r = next(it) if has_out else None
         _fused_substep_kernel(
-            spec, A, beams, off_h, off_w1, x_r, xh_r, sc_r, tab_r, w2_r,
+            spec, A, beams, off_h, off_w1, off_up, x_r, xh_r, sc_r, tab_r, w2_r,
             cw2_r, cb2_r, fu_r, fd_r, op_r, refs[-1],
         )
 
