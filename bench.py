@@ -28,6 +28,10 @@ def main():
     profiles = [
         dict(fast=True, pallas=True, fused_substep=True,
              compute_dtype="bfloat16"),
+        # fallback: fused kernel without the folded-up table (narrower
+        # VMEM footprint)
+        dict(fast=True, pallas=True, fused_substep=True,
+             compute_dtype="bfloat16", fold_up=False),
         dict(fast=True, pallas=True, compute_dtype="bfloat16"),
         dict(fast=True, compute_dtype="bfloat16"),  # fallback: no Pallas
         dict(),  # fallback: exact XLA path

@@ -44,6 +44,11 @@ class QincoSpec:
     # drop some runner-up candidates.  Requires pallas + power-of-2
     # K <= 256 with A | K.
     fused_substep: bool = False
+    # Fold the first FFN up-projection's candidate half into the fused
+    # fetch table (exact linear split, ~24% of the kernel's MXU work;
+    # see ops/pallas_kernels.py).  Disable if the wider table overflows
+    # scoped VMEM on a given row tile.
+    fold_up: bool = True
     # Accumulate the fused kernel's FFN matmuls in the compute dtype
     # (bf16) instead of f32: halves the VREG traffic between MXU ops and
     # the activation VMEM, letting the row tile double.  Candidate

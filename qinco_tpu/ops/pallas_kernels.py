@@ -276,6 +276,10 @@ def _fused_substep_kernel(
     acc_t = dt if spec.bf16_acc else jnp.float32
     start_l = 0
     if off_up:
+        # Materialize the codeword slice in f32 now so the wide ext
+        # buffer's last use is up1 below and its VMEM can be reclaimed
+        # through the FFN chain.
+        cand = cand.astype(jnp.float32)
         # Folded-W1 + folded-first-up table
         # [C | C·P·(I+W1) | C·P·(I+W1)·W_up0]: the first FFN block's
         # up-projection splits linearly over h = h_cand + h_cond, and
@@ -443,7 +447,7 @@ def fused_substep_scores_pallas(
         pieces = [codebook, h_cand]
         off_h = D
         off_w1 = D + h_w
-        if spec.L >= 1:
+        if spec.L >= 1 and spec.fold_up:
             # Fold the first FFN up-projection of the candidate half too
             # (see the kernel's off_up branch): K distinct values ride
             # the fetch instead of an (A·R, De)@(De, Dh) matmul.
