@@ -272,6 +272,119 @@ def fullopt_kernel(spec, A, beams, x_ref, xh_ref, sc_ref, tab_ref, dist_ref):
     dist_ref[:] = _pack_ids_f32(d, ids).T
 
 
+def perbin_kernel(spec, A, beams, x_ref, xh_ref, sc_ref, tab_ref, w2_ref,
+                  cb_ref, fu_ref, fd_ref, op_ref, dist_ref):
+    """Per-bin post-selection chain: fetch -> MLP -> distance runs
+    bin-by-bin on (R, .) slabs.  No (A*R, Wt) ext concat, no (A, R, .)
+    broadcasts — per-bin adds reuse the same (R, .) condition rows, and
+    only A (1, R) distance rows are concatenated at the end.  Uses the
+    fold_up table layout [C | H=C*P*(I+W1) | U=H*W_up0]."""
+    R = xh_ref.shape[0]
+    K = sc_ref.shape[0]
+    D, De, Dh = spec.D, spec.de, spec.dh
+    G = K // A
+    dt = jnp.dtype(spec.compute_dtype)
+
+    xv, xh, ds3, m = _selection(spec, A, beams, x_ref, xh_ref, sc_ref)
+    ids = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(m, jnp.int32), jnp.int32(0xFF)
+    )
+    mask3 = ds3 == m[:, None, :]
+    tab = tab_ref[:].astype(dt).reshape(A, G, -1)
+
+    r = xv - xh  # (R, D) f32; ||x - (out+cand+xh)||^2 == ||r - out - cand||^2
+
+    # Condition-row products, once for all bins (every bin shares them).
+    cc_cond = jnp.dot(
+        xh.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32
+    )  # (R, De)
+    ccb = (cc_cond + cb_ref[0, :]).astype(jnp.float32)  # (R, De)
+    up_cond = jnp.dot(
+        ccb.astype(dt), fu_ref[0].astype(dt), preferred_element_type=jnp.float32
+    )  # (R, Dh)
+
+    outs = []
+    for a in range(A):
+        fetch = jax.lax.dot_general(
+            mask3[a].astype(dt), tab[a], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, Wt) f32
+        cand = fetch[:, :D]
+        h = (fetch[:, D:D + De] + ccb).astype(dt)
+        up1 = jnp.maximum(fetch[:, D + De:] + up_cond, 0.0).astype(dt)
+        down = jnp.dot(up1, fd_ref[0].astype(dt),
+                       preferred_element_type=jnp.float32)
+        h = h + down.astype(dt)
+        for l in range(1, spec.L):
+            up = jnp.dot(h, fu_ref[l].astype(dt),
+                         preferred_element_type=jnp.float32)
+            up = jnp.maximum(up, 0.0).astype(dt)
+            down = jnp.dot(up, fd_ref[l].astype(dt),
+                           preferred_element_type=jnp.float32)
+            h = h + down.astype(dt)
+        out = jnp.dot(h, op_ref[:].astype(dt),
+                      preferred_element_type=jnp.float32)
+        diff = r - out - cand
+        outs.append(jnp.sum(diff * diff, axis=-1)[None, :])  # (1, R)
+    d = jnp.concatenate(outs, axis=0)  # (A, R)
+    dist_ref[:] = _pack_ids_f32(d, ids).T
+
+
+def run_perbin(name, iters, row_tile=512, n_bufs=3):
+    """Custom runner for per-bin variants: fold_up table + weight operands."""
+    spec = SPEC
+    A, B = spec.A, spec.B
+    N = 4096
+    NF = N * B
+    inputs = [make_inputs(s) for s in range(n_bufs)]
+    D, De, Dh = spec.D, spec.de, spec.dh
+
+    def call(**kw):
+        x, xh = kw["x"], kw["xh"]
+        beams = B
+        pad = _round_up(NF, row_tile) - NF
+        n_tiles = (NF + pad) // row_tile
+        dt = jnp.dtype(spec.compute_dtype)
+        cp = jnp.dot(kw["codebook"].astype(dt), kw["in_proj"].astype(dt),
+                     preferred_element_type=jnp.float32)
+        w1 = kw["concat_w"][:De]
+        w2 = kw["concat_w"][De:]
+        h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
+                              preferred_element_type=jnp.float32)
+        up_cand = jnp.dot(h_cand.astype(dt), kw["ffn_up"][0].astype(dt),
+                          preferred_element_type=jnp.float32)
+        table = jnp.concatenate([kw["codebook"], h_cand, up_cand], axis=1)
+        cb = kw["concat_b"].reshape(1, -1)
+        ops = [x, xh, kw["sub_codebook"], table, w2, cb,
+               kw["ffn_up"], kw["ffn_down"], kw["out_proj"]]
+        full = lambda a: pl.BlockSpec(
+            a.shape, lambda i: tuple(0 for _ in a.shape),
+            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((row_tile // beams, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(kw["sub_codebook"]), full(table), full(w2), full(cb),
+            full(kw["ffn_up"]), full(kw["ffn_down"]), full(kw["out_proj"]),
+        ]
+        out = pl.pallas_call(
+            lambda *refs: perbin_kernel(spec, A, beams, *refs),
+            out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((row_tile, A), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(*ops)
+        return out.sum()
+
+    jitted = jax.jit(call)
+    dt = timeit(lambda **kw: jitted(**kw), inputs, iters)
+    print(f"{name:12s}: {dt*1e3:8.3f} ms/step")
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
@@ -438,6 +551,10 @@ def main():
             ext = ext.reshape(A * R, tab.shape[-1])
             dist_ref[:] = jnp.sum(ext * ext, axis=-1).reshape(A, R).T
         run_variant("fetchb", fetchb_kernel, ["table"], args.iters)
+
+    if "perbin" in want:
+        run_perbin("perbin@512", args.iters, row_tile=512)
+        run_perbin("perbin@256", args.iters, row_tile=256)
 
     if "fullopt" in want:
         run_variant("fullopt", fullopt_kernel, ["table"], args.iters)
