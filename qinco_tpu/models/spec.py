@@ -49,6 +49,13 @@ class QincoSpec:
     # see ops/pallas_kernels.py).  Disable if the wider table overflows
     # scoped VMEM on a given row tile.
     fold_up: bool = True
+    # Run the fused kernel's post-selection chain (fetch -> MLP ->
+    # distance) bin-by-bin on (R, .) slabs instead of one (A*R, .) block:
+    # no ext-concat materialization and no (A, R, .) broadcasts, at the
+    # cost of A-way unrolled (smaller) matmuls.  Identical selection
+    # semantics (exact reformulation); requires fold_up and no low-rank
+    # factor — falls back to the blocked form otherwise.
+    perbin: bool = False
     # Accumulate the fused kernel's FFN matmuls in the compute dtype
     # (bf16) instead of f32: halves the VREG traffic between MXU ops and
     # the activation VMEM, letting the row tile double.  Candidate
@@ -132,5 +139,6 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         fast=bool(cfg.get("fast_encode", False)),
         pallas=bool(cfg.get("pallas", False)),
         fused_substep=bool(cfg.get("fused_substep", False)),
+        perbin=bool(cfg.get("perbin", False)),
         bf16_acc=bool(cfg.get("bf16_acc", False)),
     )

@@ -255,6 +255,62 @@ def _fused_substep_kernel(
     # a bin); slab a contracts over its own G table rows.
     mask3 = ds3 == m[:, None, :]  # (A, G, R), one hit per (a, ., r)
     tab = table_ref[:].astype(dt).reshape(A, G, -1)
+
+    if spec.perbin and off_up:
+        # Per-bin post-selection chain (spec.perbin): fetch -> MLP ->
+        # distance runs bin-by-bin on (R, .) slabs.  Exact reformulation
+        # of the blocked form below — every bin shares the same R
+        # condition rows, so the (A*R, Wt) ext concat and all (A, R, .)
+        # broadcasts disappear; only A (1, R) distance rows concatenate
+        # at the end.  Costs A-way unrolled (smaller) matmuls instead.
+        acc_t = dt if spec.bf16_acc else jnp.float32
+        r = xv - xh  # ||x - (out + cand + xh)||^2 == ||r - out - cand||^2
+        cc_cond = jnp.dot(
+            xh.astype(dt), w2_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (R, De)
+        ccb = cc_cond + concat_b_ref[0, :]  # (R, De) f32
+        up_cond = jnp.dot(
+            ccb.astype(dt), ffn_up_ref[0].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (R, Dh)
+        De = ccb.shape[1]
+        outs = []
+        for a in range(A):
+            fetch = jax.lax.dot_general(
+                mask3[a].astype(dt), tab[a], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wt) f32
+            cand = fetch[:, :D]
+            h = (fetch[:, off_h:off_up] + ccb).astype(dt)
+            up1 = jnp.maximum(fetch[:, off_up:] + up_cond, 0.0).astype(dt)
+            down = jnp.dot(
+                up1, ffn_down_ref[0].astype(dt), preferred_element_type=acc_t
+            )
+            h = h + down.astype(dt)
+            for l in range(1, spec.L):
+                up = jnp.dot(
+                    h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
+                )
+                up = jnp.maximum(up, 0.0).astype(dt)
+                down = jnp.dot(
+                    up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
+                )
+                h = h + down.astype(dt)
+            if out_proj_ref is not None:
+                out = jnp.dot(
+                    h, out_proj_ref[:].astype(dt),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                out = h.astype(jnp.float32)
+            diff = r - out
+            if spec.res_codeword_coeff:
+                diff = diff - cand
+            outs.append(jnp.sum(diff * diff, axis=-1)[None, :])  # (1, R)
+        d = jnp.concatenate(outs, axis=0)  # (A, R)
+        dist_ref[:] = _pack_ids_f32(d, ids).T
+        return
     # Slab outputs cast to the compute dtype before the concat: the fetch
     # is exact row selection of an already-dt-rounded table (one-hot
     # contraction), so nothing is lost, and the bf16 ext halves both the

@@ -118,6 +118,60 @@ def main():
         log("mse_fused_delta_pct", round(100 * (m_fused / m_exact - 1), 3))
         log("mse_bf16acc_delta_pct", round(100 * (m_bf16 / m_exact - 1), 3))
 
+    if "perbin" in steps:
+        # end-to-end encode throughput with the per-bin kernel chain
+        log("perbin_vec_per_s", round(_throughput(base.with_(perbin=True)), 1))
+        log("perbin_bf16acc_vec_per_s",
+            round(_throughput(base.with_(perbin=True, bf16_acc=True)), 1))
+        # baseline re-sample to bound session noise
+        log("fused_vec_per_s_b", round(_throughput(base, seed=3), 1))
+        # direct kernel timing at several row tiles
+        import jax.numpy as jnp
+
+        from qinco_tpu.models import init_params
+        from qinco_tpu.ops.pallas_kernels import fused_substep_scores_pallas
+
+        params = init_params(jax.random.PRNGKey(0), base)
+        p = jax.tree.map(lambda a: a[1], params.steps)
+        N, B, A, D = 4096, base.B, base.A, base.D
+        NF = N * B
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        xh0 = jnp.asarray(rng.normal(size=(NF, D)).astype(np.float32) * 0.1)
+        for pb in (False, True):
+            tiles = (256, 512) if not pb else (256, 512, 1024, 2048)
+            for rt in tiles:
+                sp = base.with_(perbin=pb)
+
+                def call(xh, _sp=sp, _rt=rt):
+                    return fused_substep_scores_pallas(
+                        _sp, x, xh, p.sub_codebook, p.codebook, p.in_proj,
+                        p.concat_w, p.concat_w2, p.concat_b, p.ffn_up,
+                        p.ffn_down, p.out_proj, n_codes=A, beams=B,
+                        row_tile=_rt,
+                    ).sum()
+
+                @jax.jit
+                def run(xh):
+                    def body(acc, i):
+                        return acc + call(
+                            xh * (1.0 + i.astype(jnp.float32) * 1e-6)), None
+
+                    acc, _ = jax.lax.scan(
+                        body, jnp.zeros((), jnp.float32), jnp.arange(10))
+                    return acc
+
+                try:
+                    float(np.asarray(run(xh0)))
+                    t0 = time.perf_counter()
+                    float(np.asarray(run(xh0)))
+                    dt = (time.perf_counter() - t0) / 10
+                    log(f"kernel_{'perbin' if pb else 'blocked'}_rt{rt}_ms",
+                        round(dt * 1e3, 3))
+                except Exception as e:
+                    log(f"kernel_{'perbin' if pb else 'blocked'}_rt{rt}_ms",
+                        f"failed: {type(e).__name__}")
+
     if "profile" in steps:
         import subprocess
 

@@ -126,6 +126,53 @@ def test_fused_substep_kernel_selection_matches_reference():
     assert (ids == exp).mean() > 0.99, (ids[:3], exp[:3])
 
 
+def test_perbin_matches_blocked_fused_kernel():
+    """spec.perbin is an exact reformulation of the blocked fused kernel:
+    same packed candidate ids, distances equal to float-association
+    tolerance, end-to-end encode equivalent."""
+    from qinco_tpu.models.params import init_params as ip
+    from qinco_tpu.ops.pallas_kernels import fused_substep_scores_pallas
+
+    spec = QincoSpec(
+        D=16, K=32, M=4, L=2, de=12, dh=24, A=8, B=4,
+        pallas=True, fast=True, fused_substep=True,
+        compute_dtype="bfloat16",
+    )
+    params = ip(jax.random.PRNGKey(2), spec)
+    p0 = jax.tree.map(lambda a: a[0], params.steps)
+    rng = np.random.default_rng(11)
+    NF = 64
+    x = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+
+    outs = {}
+    for pb in (False, True):
+        outs[pb] = np.asarray(fused_substep_scores_pallas(
+            spec.with_(perbin=pb), x, xh, p0.sub_codebook, p0.codebook,
+            p0.in_proj, p0.concat_w, p0.concat_w2, p0.concat_b, p0.ffn_up,
+            p0.ffn_down, p0.out_proj, n_codes=spec.A, row_tile=32,
+            interpret=interp))
+    ids_a = outs[False].view(np.int32) & 0xFF
+    ids_b = outs[True].view(np.int32) & 0xFF
+    assert (ids_a == ids_b).all()
+    da = (outs[False].view(np.int32) & ~0xFF).view(np.float32)
+    db = (outs[True].view(np.int32) & ~0xFF).view(np.float32)
+    np.testing.assert_allclose(da, db, rtol=1e-2, atol=1e-5)
+
+    # end-to-end encode: same MSE class, decode reproduces xhat exactly
+    xb = jnp.asarray(rng.normal(size=(64, spec.D)).astype(np.float32))
+    _, xhat_f, _ = encode(params, spec, xb)
+    codes_p, xhat_p, _ = encode(params, spec.with_(perbin=True), xb)
+    mse_f = float(jnp.mean(jnp.sum((xhat_f - xb) ** 2, -1)))
+    mse_p = float(jnp.mean(jnp.sum((xhat_p - xb) ** 2, -1)))
+    assert abs(mse_p - mse_f) <= mse_f * 0.02, (mse_p, mse_f)
+    from qinco_tpu.models import decode
+
+    dec = decode(params, spec.with_(perbin=True), codes_p)
+    assert float(jnp.mean((dec - xhat_p) ** 2)) < 1e-10
+
+
 def test_bf16_acc_profile_close_to_fused():
     """bf16-accumulated FFN (spec.bf16_acc) stays close in MSE to the
     f32-accumulated fused profile; selected reconstructions are exact in
