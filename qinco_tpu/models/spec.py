@@ -49,6 +49,14 @@ class QincoSpec:
     # see ops/pallas_kernels.py).  Disable if the wider table overflows
     # scoped VMEM on a given row tile.
     fold_up: bool = True
+    # Approximate beam top-B (jax.lax.approx_max_k) inside the beam
+    # steps: ~3x faster than exact top-k on the (N, F*A) distance tile.
+    # May drop runner-up beams (recall ~0.95 per step); the *final* beam
+    # is re-selected by an exact argmin over the B survivors' true
+    # distances, so only beam diversity is approximated, never the last
+    # selection.  Opt-in; MSE delta validated on TPU (tests cover
+    # plumbing only — on CPU approx_max_k lowers to exact top-k).
+    approx_beam: bool = False
     # Run the fused kernel's post-selection chain (fetch -> MLP ->
     # distance) bin-by-bin on (R, .) slabs instead of one (A*R, .) block:
     # no ext-concat materialization and no (A, R, .) broadcasts, at the
@@ -140,5 +148,6 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         pallas=bool(cfg.get("pallas", False)),
         fused_substep=bool(cfg.get("fused_substep", False)),
         perbin=bool(cfg.get("perbin", False)),
+        approx_beam=bool(cfg.get("approx_beam", False)),
         bf16_acc=bool(cfg.get("bf16_acc", False)),
     )

@@ -118,6 +118,18 @@ def main():
         log("mse_fused_delta_pct", round(100 * (m_fused / m_exact - 1), 3))
         log("mse_bf16acc_delta_pct", round(100 * (m_bf16 / m_exact - 1), 3))
 
+    if "approx" in steps:
+        log("approx_beam_vec_per_s",
+            round(_throughput(base.with_(approx_beam=True)), 1))
+        log("approx_perbin_vec_per_s",
+            round(_throughput(base.with_(approx_beam=True, perbin=True)), 1))
+        exact = base.with_(fast=False, pallas=False, fused_substep=False,
+                           compute_dtype="float32")
+        m_exact = _mse(exact)
+        m_approx = _mse(base.with_(approx_beam=True))
+        log("mse_approx_beam_delta_pct",
+            round(100 * (m_approx / m_exact - 1), 3))
+
     if "perbin" in steps:
         # end-to-end encode throughput with the per-bin kernel chain
         log("perbin_vec_per_s", round(_throughput(base.with_(perbin=True)), 1))

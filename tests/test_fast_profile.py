@@ -173,6 +173,25 @@ def test_perbin_matches_blocked_fused_kernel():
     assert float(jnp.mean((dec - xhat_p) ** 2)) < 1e-10
 
 
+def test_approx_beam_plumbing():
+    """approx_beam on CPU (where approx_max_k lowers to an exact top-k)
+    must reproduce the exact profile's encode bit-for-bit, exercising the
+    final-beam re-selection path."""
+    spec = QincoSpec(
+        D=16, K=32, M=4, L=2, de=12, dh=24, A=8, B=4,
+        pallas=True, fast=True, fused_substep=True,
+        compute_dtype="bfloat16",
+    )
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(64, spec.D)).astype(np.float32)
+    )
+    codes_e, xhat_e, _ = encode(params, spec, x)
+    codes_a, xhat_a, _ = encode(params, spec.with_(approx_beam=True), x)
+    assert (np.asarray(codes_e) == np.asarray(codes_a)).all()
+    np.testing.assert_allclose(np.asarray(xhat_e), np.asarray(xhat_a))
+
+
 def test_bf16_acc_profile_close_to_fused():
     """bf16-accumulated FFN (spec.bf16_acc) stays close in MSE to the
     f32-accumulated fused profile; selected reconstructions are exact in
