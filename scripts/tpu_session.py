@@ -118,6 +118,87 @@ def main():
         log("mse_fused_delta_pct", round(100 * (m_fused / m_exact - 1), 3))
         log("mse_bf16acc_delta_pct", round(100 * (m_bf16 / m_exact - 1), 3))
 
+    if "train" in steps:
+        # jitted train-step device time at batch 1024 (arch doc anchor)
+        import jax.numpy as jnp
+        import optax
+
+        from qinco_tpu.models import init_params
+        from qinco_tpu.models.params import init_model_state
+        from qinco_tpu.train.train_step import make_train_step
+
+        for tag, sp in (("exact", base.with_(
+                fast=False, pallas=False, fused_substep=False,
+                compute_dtype="float32")),
+                        ("fused", base), ("perbin", base.with_(perbin=True))):
+            try:
+                params = init_params(jax.random.PRNGKey(0), sp)
+                mstate = init_model_state(sp)
+                tx = optax.adamw(8e-4, weight_decay=0.1)
+                opt_state = tx.init(params)
+                tstep = make_train_step(sp, tx, 0.1)
+                xs = jnp.asarray(
+                    np.random.default_rng(1)
+                    .normal(size=(8, 1024, sp.D)).astype(np.float32))
+                w = jnp.ones((1024,), jnp.float32)
+
+                @jax.jit
+                def steps_scan(params, opt_state, mstate, xs):
+                    def body(carry, x):
+                        params, opt_state, mstate = carry
+                        params, opt_state, mstate, out = tstep(
+                            params, opt_state, mstate, x, w)
+                        return (params, opt_state, mstate), out.total_loss
+
+                    carry, losses = jax.lax.scan(
+                        body, (params, opt_state, mstate), xs)
+                    return losses.sum()
+
+                float(steps_scan(params, opt_state, mstate, xs))
+                t0 = time.perf_counter()
+                float(steps_scan(params, opt_state, mstate, xs))
+                log(f"train_step_ms_{tag}",
+                    round((time.perf_counter() - t0) / 8 * 1e3, 2))
+            except Exception as e:
+                log(f"train_step_ms_{tag}", f"failed: {type(e).__name__}: {e}")
+
+    if "kmeans20" in steps:
+        # one Lloyd E+M accumulation at K=2^20, D=128 over 4M device rows:
+        # projected niter=100 wall-clock for the VERDICT scale anchor
+        import jax.numpy as jnp
+
+        # NB: `ops/__init__` re-exports the `kmeans` *function*, which
+        # shadows the module on attribute access — go via sys.modules.
+        import qinco_tpu.ops.kmeans  # noqa: F401
+
+        km = sys.modules["qinco_tpu.ops.kmeans"]
+
+        try:
+            K20 = 1 << 20
+            D = 128
+            rows = 1 << 22
+            chunk = 1 << 17
+            rng = np.random.default_rng(0)
+            cent = jnp.asarray(rng.normal(size=(K20, D)).astype(np.float32))
+            x3 = jnp.asarray(
+                rng.normal(size=(rows // chunk, chunk, D)).astype(np.float32))
+            w3 = jnp.ones((rows // chunk, chunk), jnp.float32)
+            sums = jnp.zeros((K20 + 1, D), jnp.float32)
+            counts = jnp.zeros((K20 + 1,), jnp.float32)
+            s, c = km._accumulate_megabatch(
+                x3, w3, cent, sums, counts, K=K20, chunk=chunk)
+            float(np.asarray(c[:1])[0])  # compile + warm
+            t0 = time.perf_counter()
+            s, c = km._accumulate_megabatch(
+                x3, w3, cent, sums, counts, K=K20, chunk=chunk)
+            float(np.asarray(c[:1])[0])
+            dt = time.perf_counter() - t0
+            log("kmeans20_EM_s_per_4Mrows", round(dt, 2))
+            log("kmeans20_projected_100iter_10M_min",
+                round(dt * (10_000_000 / rows) * 100 / 60, 1))
+        except Exception as e:
+            log("kmeans20", f"failed: {type(e).__name__}: {e}")
+
     if "approx" in steps:
         log("approx_beam_vec_per_s",
             round(_throughput(base.with_(approx_beam=True)), 1))
