@@ -519,6 +519,23 @@ def fused_substep_scores_pallas(
         off_w1 = D + (h_w if in_proj is not None else 0)
     table = jnp.concatenate(pieces, axis=1)  # (K, Wt)
 
+    # Pre-cast the weight operands to the compute dtype OUTSIDE the
+    # kernel: the kernel rounds every weight to ``dt`` before use anyway
+    # (``.astype(dt)`` of an already-dt block is a no-op), so this is
+    # bit-identical — but it halves the weights' VMEM blocks and removes
+    # the per-grid-tile convert ops (the full-block converts re-run on
+    # every row tile otherwise).  The bias stays f32 (added to f32
+    # accumulations) and the sub-codebook stays f32 (its squared norms
+    # feed the packed selection distances directly).
+    table = table.astype(dt)
+    w2 = w2.astype(dt)
+    if concat_w2 is not None:
+        concat_w2 = concat_w2.astype(dt)
+    ffn_up = ffn_up.astype(dt)
+    ffn_down = ffn_down.astype(dt)
+    if out_proj is not None:
+        out_proj = out_proj.astype(dt)
+
     def row_spec(width, rows=row_tile):
         return pl.BlockSpec(
             (rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -611,6 +628,20 @@ def candidate_scores_pallas(
     # Pre-flatten the candidate ids: the kernel builds its one-hot from a
     # (R·A, 1) block (2D lane-dim iota compare; see _cand_scores_kernel).
     idx = idx.reshape(-1, 1)
+
+    # Pre-cast weights to the compute dtype (bit-identical — the kernel
+    # rounds to ``dt`` before every use; see fused_substep_scores_pallas).
+    dt = jnp.dtype(spec.compute_dtype)
+    codebook = codebook.astype(dt)
+    if in_proj is not None:
+        in_proj = in_proj.astype(dt)
+    concat_w = concat_w.astype(dt)
+    if concat_w2 is not None:
+        concat_w2 = concat_w2.astype(dt)
+    ffn_up = ffn_up.astype(dt)
+    ffn_down = ffn_down.astype(dt)
+    if out_proj is not None:
+        out_proj = out_proj.astype(dt)
 
     def row_spec(width):
         return pl.BlockSpec(
