@@ -385,6 +385,150 @@ def run_perbin(name, iters, row_tile=512, n_bufs=3):
     return dt
 
 
+def sgfetch_kernel(spec, A, beams, S, x_ref, xh_ref, sc_ref, tabbd_ref,
+                   w2_ref, cb_ref, fu_ref, fd_ref, op_ref, dist_ref):
+    """Per-bin chain with a SUPERGROUP block-diagonal fetch: S bins'
+    one-hot masks stack on the sublane axis into a (S·G, R) slab and
+    contract in ONE dot_general against a block-diagonal table
+    (S·G, S·Wt) — a 128-deep (S=8, G=16) MXU contraction instead of S
+    16-deep ones.  8x more nominal FLOPs (the zero blocks), but if
+    Mosaic pads the 16-deep contraction to a full MXU pass anyway the
+    pass count is identical and the dispatch overhead is 1/S.  The fetch
+    stays exact selection (off-block zeros contribute exactly 0)."""
+    R = xh_ref.shape[0]
+    K = sc_ref.shape[0]
+    D, De = spec.D, spec.de
+    G = K // A
+    dt = jnp.dtype(spec.compute_dtype)
+
+    xv, xh, ds3, m = _selection(spec, A, beams, x_ref, xh_ref, sc_ref)
+    ids = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(m, jnp.int32), jnp.int32(0xFF)
+    )
+    mask3 = ds3 == m[:, None, :]  # (A, G, R)
+    mask_sg = mask3.reshape(A // S, S * G, R)
+    tabbd = tabbd_ref[:]  # (A//S, S*G, S*Wt), already compute-dtype
+    Wt = tabbd.shape[2] // S
+
+    r = xv - xh
+    cc_cond = jnp.dot(
+        xh.astype(dt), w2_ref[:], preferred_element_type=jnp.float32
+    )
+    ccb = (cc_cond + cb_ref[0, :]).astype(jnp.float32)  # (R, De)
+    up_cond = jnp.dot(
+        ccb.astype(dt), fu_ref[0], preferred_element_type=jnp.float32
+    )  # (R, Dh)
+
+    outs = []
+    for s in range(A // S):
+        fsg = jax.lax.dot_general(
+            mask_sg[s].astype(dt), tabbd[s], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, S*Wt)
+        for j in range(S):
+            fetch = fsg[:, j * Wt : (j + 1) * Wt]
+            cand = fetch[:, :D]
+            h = (fetch[:, D : D + De] + ccb).astype(dt)
+            up1 = jnp.maximum(fetch[:, D + De :] + up_cond, 0.0).astype(dt)
+            down = jnp.dot(up1, fd_ref[0], preferred_element_type=jnp.float32)
+            h = h + down.astype(dt)
+            for l in range(1, spec.L):
+                up = jnp.dot(h, fu_ref[l], preferred_element_type=jnp.float32)
+                up = jnp.maximum(up, 0.0).astype(dt)
+                down = jnp.dot(
+                    up, fd_ref[l], preferred_element_type=jnp.float32)
+                h = h + down.astype(dt)
+            out = jnp.dot(h, op_ref[:], preferred_element_type=jnp.float32)
+            diff = r - out - cand
+            outs.append(jnp.sum(diff * diff, axis=-1)[None, :])  # (1, R)
+    d = jnp.concatenate(outs, axis=0)  # (A, R)
+    dist_ref[:] = _pack_ids_f32(d, ids).T
+
+
+def run_sgfetch(name, iters, S=8, row_tile=256, n_bufs=3, check=False):
+    """Runner for the supergroup block-diagonal fetch variant."""
+    spec = SPEC
+    A, B = spec.A, spec.B
+    N = 4096 if not check else 128
+    NF = N * B
+    inputs = [make_inputs(s, N=N) for s in range(n_bufs)]
+    D, De = spec.D, spec.de
+
+    def call(**kw):
+        x, xh = kw["x"], kw["xh"]
+        beams = B
+        pad = _round_up(NF, row_tile) - NF
+        n_tiles = (NF + pad) // row_tile
+        dt = jnp.dtype(spec.compute_dtype)
+        cp = jnp.dot(kw["codebook"].astype(dt), kw["in_proj"].astype(dt),
+                     preferred_element_type=jnp.float32)
+        w1 = kw["concat_w"][:De]
+        w2 = kw["concat_w"][De:]
+        h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
+                              preferred_element_type=jnp.float32)
+        up_cand = jnp.dot(h_cand.astype(dt), kw["ffn_up"][0].astype(dt),
+                          preferred_element_type=jnp.float32)
+        table = jnp.concatenate(
+            [kw["codebook"], h_cand, up_cand], axis=1).astype(dt)
+        K = table.shape[0]
+        G = K // A
+        Wt = table.shape[1]
+        tabr = table.reshape(A, G, Wt)
+        # block-diagonal supergroup table (A/S, S*G, S*Wt)
+        blocks = []
+        for s in range(A // S):
+            rows = []
+            for j in range(S):
+                row = jnp.zeros((G, S * Wt), dt)
+                row = row.at[:, j * Wt : (j + 1) * Wt].set(tabr[s * S + j])
+                rows.append(row)
+            blocks.append(jnp.concatenate(rows, axis=0))
+        tabbd = jnp.stack(blocks)
+        cb = kw["concat_b"].reshape(1, -1)
+        ops = [x, xh, kw["sub_codebook"], tabbd, w2.astype(dt), cb,
+               kw["ffn_up"].astype(dt), kw["ffn_down"].astype(dt),
+               kw["out_proj"].astype(dt)]
+        full = lambda a: pl.BlockSpec(
+            a.shape, lambda i: tuple(0 for _ in a.shape),
+            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((row_tile // beams, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [full(o) for o in ops[2:]]
+        out = pl.pallas_call(
+            lambda *refs: sgfetch_kernel(spec, A, beams, S, *refs),
+            out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((row_tile, A), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(*ops)
+        return out[:NF]
+
+    if check:
+        kw = inputs[0]
+        got = np.asarray(jax.jit(call)(**kw))
+        want_ = np.asarray(fused_substep_scores_pallas(
+            SPEC.with_(perbin=True), kw["x"], kw["xh"], kw["sub_codebook"],
+            kw["codebook"], kw["in_proj"], kw["concat_w"], None,
+            kw["concat_b"], kw["ffn_up"], kw["ffn_down"], kw["out_proj"],
+            n_codes=A, beams=B, row_tile=row_tile,
+            interpret=jax.default_backend() != "tpu",
+        ))
+        ok = np.allclose(got, want_, rtol=2e-3, atol=2e-3)
+        print(f"{name}: check {'OK' if ok else 'MISMATCH'} "
+              f"(max abs diff {np.abs(got - want_).max():.3e})")
+        return
+
+    jitted = jax.jit(lambda **kw: call(**kw).sum())
+    dt = timeit(lambda **kw: jitted(**kw), inputs, iters)
+    print(f"{name:12s}: {dt*1e3:8.3f} ms/step")
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
@@ -555,6 +699,15 @@ def main():
     if "perbin" in want:
         run_perbin("perbin@512", args.iters, row_tile=512)
         run_perbin("perbin@256", args.iters, row_tile=256)
+
+    if "sgfetch" in want:
+        run_sgfetch("sg8@256", args.iters, S=8, row_tile=256)
+        run_sgfetch("sg4@256", args.iters, S=4, row_tile=256)
+        run_sgfetch("sg4@512", args.iters, S=4, row_tile=512)
+
+    if "sgcheck" in want:
+        run_sgfetch("sg8check", args.iters, S=8, row_tile=256, check=True)
+        run_sgfetch("sg4check", args.iters, S=4, row_tile=256, check=True)
 
     if "fullopt" in want:
         run_variant("fullopt", fullopt_kernel, ["table"], args.iters)
