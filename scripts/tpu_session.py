@@ -27,11 +27,17 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 RESULTS = {}
+OUT_PATH = "/tmp/tpu_session.json"
 
 
 def log(k, v):
     RESULTS[k] = v
     print(json.dumps({k: v}), flush=True)
+    # incremental write: a hung/killed later step keeps earlier results
+    try:
+        Path(OUT_PATH).write_text(json.dumps(RESULTS, indent=1))
+    except OSError:
+        pass
 
 
 def _throughput(spec, batch=4096, n_iter=8, seed=0):
@@ -86,6 +92,8 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/tpu_session.json")
     args = ap.parse_args()
     steps = set(args.steps.split(","))
+    global OUT_PATH
+    OUT_PATH = args.out
 
     import jax
 
@@ -264,6 +272,48 @@ def main():
                 except Exception as e:
                     log(f"kernel_{'perbin' if pb else 'blocked'}_rt{rt}_ms",
                         f"failed: {type(e).__name__}")
+
+    if "sg" in steps:
+        # supergroup block-diagonal fetch variants (see kernel_variants)
+        from scripts.kernel_variants import run_perbin, run_sgfetch
+
+        try:
+            log("sg8_256_ms", round(run_sgfetch("sg8@256", 10, S=8) * 1e3, 3))
+            log("sg4_256_ms", round(run_sgfetch("sg4@256", 10, S=4) * 1e3, 3))
+            log("perbin_512_ms",
+                round(run_perbin("perbin@512", 10, row_tile=512) * 1e3, 3))
+        except Exception as e:
+            log("sg", f"failed: {type(e).__name__}: {e}")
+
+    if "tpusearch" in steps:
+        # TPU-path search sweep on the 10M scale artifacts (split-LUT
+        # native scan + fused mid-rerank landed after the last TPU-path
+        # measurement; re-measure for the docs table).
+        out = "/root/scale10m"
+        if not Path(f"{out}/index.qivf").exists():
+            log("tpusearch", "skipped: no scale artifacts")
+        else:
+            import run_qinco
+
+            try:
+                run_qinco.main([
+                    "task=search", f"model={out}/model.npz",
+                    f"ivf_centroids={out}/ivf.npy", f"index={out}/index.qivf",
+                    f"queries={out}/queries.npy", f"queries_gt={out}/gt.npy",
+                    f"pairwise_decoder={out}/pairwise_shrunk.npz",
+                    f"output={out}/results_tpu_split.json",
+                    "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
+                    "search.nmid_short=[1,3]", "search.quantizer_efSearch=[]",
+                    "search.nthreads=0", "verbose=true", "resume=true",
+                ])
+                res = json.loads(
+                    Path(f"{out}/results_tpu_split.json").read_text())
+                log("tpusearch_points", [
+                    {"p": r["parameters"], "R@1": r["recalls"]["1"],
+                     "t": r["t_total"]}
+                    for r in res["ivf_real_res"]])
+            except Exception as e:
+                log("tpusearch", f"failed: {type(e).__name__}: {e}")
 
     if "profile" in steps:
         import subprocess
