@@ -25,14 +25,19 @@ def main():
     from qinco_tpu.models import init_params
     from qinco_tpu.models.spec import QincoSpec
 
+    # Headline profile: exact top-A pre-selection (selected_scores_pallas)
+    # — measured +0.001% MSE vs the XLA-exact path on a trained 10M-run
+    # checkpoint (scripts/trained_mse_check.py).  The binned fused_substep
+    # profile is faster still but costs ~+0.4% MSE on trained codebooks,
+    # so it stays a documented opt-in, used here only as a fallback rung.
     profiles = [
+        dict(fast=True, pallas=True, compute_dtype="bfloat16"),
         dict(fast=True, pallas=True, fused_substep=True,
              compute_dtype="bfloat16"),
         # fallback: fused kernel without the folded-up table (narrower
         # VMEM footprint)
         dict(fast=True, pallas=True, fused_substep=True,
              compute_dtype="bfloat16", fold_up=False),
-        dict(fast=True, pallas=True, compute_dtype="bfloat16"),
         dict(fast=True, compute_dtype="bfloat16"),  # fallback: no Pallas
         dict(),  # fallback: exact XLA path
     ]

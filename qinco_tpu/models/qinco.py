@@ -190,6 +190,25 @@ def _beam_step(
         # Substep pre-selection: top n_codes fixed-codebook candidates for
         # the residual (reference: qinco_base.py:114-121).
         sub_d = pairwise_sqdist_partial(x_f - xh, p.sub_codebook)  # (NF, K)
+        if spec.pallas and spec.K <= 256 and p.concat_w2 is None:
+            # Exact-selection kernel route: pack each candidate's id into
+            # its distance's low mantissa bits and select top-A *values* —
+            # the scoring kernel unpacks ids itself, so no (NF, A) int32
+            # array (sublane-padded 8x, ~2.5 ms/step) ever crosses HBM.
+            from ..ops.pallas_kernels import _pack_ids_f32
+
+            d_pk = _pack_ids_f32(
+                sub_d, jnp.arange(spec.K, dtype=jnp.int32)[None, :]
+            )
+            if spec.fast:
+                nvals, _ = jax.lax.approx_max_k(-d_pk, n_codes)
+                vals = -nvals  # negation flips only the sign bit
+            else:
+                _, vals = topk_smallest(d_pk, n_codes)  # (NF, n)
+            return _beam_step_fused(
+                spec, p, x, xhat, F_out, n_codes, None, w, want_stats,
+                sel_vals=vals.T,
+            )
         if spec.fast:
             _, top_idx = jax.lax.approx_max_k(-sub_d, n_codes)
         else:
@@ -278,15 +297,17 @@ def _beam_step_fused(
     xhat: jnp.ndarray,  # (N, F_in, D)
     F_out: int,
     n_codes: int,
-    top_idx,  # (NF, n_codes) substep pre-selection | None (fused substep)
+    top_idx,  # (NF, n_codes) substep pre-selection | None
     w: Optional[jnp.ndarray] = None,
     want_stats: bool = True,
+    sel_vals=None,  # (n_codes, NF) packed pre-selection values | None
 ):
     """Pallas-kernel beam step: score all F·A candidates on-chip, then
     recompute reconstructions for only the F_out selected beams."""
     from ..ops.pallas_kernels import (
         candidate_scores_pallas,
         fused_substep_scores_pallas,
+        selected_scores_pallas,
     )
 
     N, F_in, D = xhat.shape
@@ -300,7 +321,7 @@ def _beam_step_fused(
     # its fetched candidate block in the compute dtype, which fits
     # R*A = 8192 under the 16MB scoped-vmem limit; the plain scoring
     # kernel's f32 activations overflow there, so it stays at 4096.
-    budget = 8192 if top_idx is None else 4096
+    budget = 8192 if (top_idx is None and sel_vals is None) else 4096
     row_tile = max(8, min(512, budget // n_codes, _round_up_pow2(NF)))
     if top_idx is None:
         pack_ids = True
@@ -308,15 +329,26 @@ def _beam_step_fused(
         # tile (the kernel broadcasts in VMEM); the (NF, D) broadcast
         # never reaches HBM.
         beams = F_in if row_tile % F_in == 0 else 1
-        dists_fa = fused_substep_scores_pallas(
-            spec, x if beams > 1 else x_f, xh, p.sub_codebook, p.codebook,
-            p.in_proj, p.concat_w, p.concat_w2, p.concat_b, p.ffn_up,
-            p.ffn_down, p.out_proj,
-            n_codes=n_codes,
-            beams=beams,
-            row_tile=row_tile,
-            interpret=interpret,
-        )
+        if sel_vals is not None:
+            dists_fa = selected_scores_pallas(
+                spec, x if beams > 1 else x_f, xh, sel_vals, p.codebook,
+                p.in_proj, p.concat_w, p.concat_b, p.ffn_up, p.ffn_down,
+                p.out_proj,
+                n_codes=n_codes,
+                beams=beams,
+                row_tile=row_tile,
+                interpret=interpret,
+            )
+        else:
+            dists_fa = fused_substep_scores_pallas(
+                spec, x if beams > 1 else x_f, xh, p.sub_codebook, p.codebook,
+                p.in_proj, p.concat_w, p.concat_w2, p.concat_b, p.ffn_up,
+                p.ffn_down, p.out_proj,
+                n_codes=n_codes,
+                beams=beams,
+                row_tile=row_tile,
+                interpret=interpret,
+            )
     else:
         pack_ids = spec.K <= 256
         dists_fa = candidate_scores_pallas(

@@ -592,6 +592,238 @@ def fused_substep_scores_pallas(
     return dists[:NF]
 
 
+def _selected_scores_kernel(
+    spec: QincoSpec,
+    A: int,  # candidate slots per row
+    beams: int,  # beam rows per vector
+    x_ref,  # (R/beams, D) per-vector targets
+    xh_ref,  # (R, D)
+    vals_ref,  # (A, R) packed pre-selection values (ids in low 8 bits)
+    table_ref,  # (K, D + De) folded table [C | C·P·(I+W1)]
+    w2_ref,  # (D, De) condition half of the concat weight
+    concat_b_ref,  # (1, De)
+    ffn_up_ref,
+    ffn_down_ref,
+    out_proj_ref,
+    dist_ref,  # (R, A) packed distances
+):
+    """Candidate scoring for an EXTERNALLY pre-selected top-A.
+
+    The exact-selection sibling of ``_fused_substep_kernel``: the substep
+    top-A runs outside (exact ``top_k`` or ``approx_max_k`` over packed
+    partial distances), and only the winners' packed *values* enter the
+    kernel — (A, R) f32, clean lane layout — where the candidate ids are
+    unpacked from the low mantissa bits.  No (NF, A) int32 id array ever
+    crosses HBM (its (R·A, 1) kernel block was sublane-padded 8x and cost
+    ~2.5 ms/step at production shapes).
+
+    The fused-table tricks carry over from the binned kernel:
+    * folded concat table [C | C·P·(I+W1)] — the concat layer's candidate
+      half rides the fetch, the condition half runs on the R condition
+      rows instead of A·R candidate rows;
+    * per-slot one-hot fetch on the MXU: slot a's mask is a 2D lane-iota
+      compare against its id, contracted (R, K) @ (K, D+De) — arbitrary
+      winners need the full-K contraction (the binned kernel's G-wide
+      slabs rely on selection *structure*), which is the FLOP price of
+      exactness.
+
+    (``fold_up`` does not pay here: widening the fetch table multiplies
+    the full-K contraction, unlike the G-wide binned fetch.)
+    """
+    R = xh_ref.shape[0]
+    K = table_ref.shape[0]
+    D = spec.D
+    dt = jnp.dtype(spec.compute_dtype)
+    acc_t = dt if spec.bf16_acc else jnp.float32
+
+    xv = x_ref[:].astype(jnp.float32)  # (R/beams, D)
+    xv = jnp.broadcast_to(
+        xv[:, None, :], (R // beams, beams, D)
+    ).reshape(R, D)
+    xh = xh_ref[:].astype(jnp.float32)
+
+    vals = vals_ref[:]  # (A, R) packed
+    ids = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
+    )  # (A, R)
+
+    # Condition half of the concat layer on the R condition rows only.
+    cc_cond = jnp.dot(
+        xh.astype(dt), w2_ref[:].astype(dt),
+        preferred_element_type=jnp.float32,
+    )  # (R, De)
+    ccb = cc_cond + concat_b_ref[0, :]  # (R, De) f32
+
+    # Per-slot one-hot fetch: lane-iota compare against the slot's ids,
+    # then one (R, K) @ (K, D + De) matmul per slot.
+    tab = table_ref[:].astype(dt)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
+    ext = jnp.concatenate(
+        [
+            jnp.dot(
+                (col == ids[a][:, None]).astype(dt), tab,
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            for a in range(A)
+        ],
+        axis=0,
+    )  # (A·R, D + De) dt: [cand | h-init]
+    cand = ext[:, :D].astype(jnp.float32)
+    De = ccb.shape[1]
+    h = (
+        ext[:, D:]
+        + jnp.broadcast_to(ccb[None], (A, R, De)).reshape(A * R, De)
+    ).astype(dt)
+
+    for l in range(spec.L):
+        up = jnp.dot(
+            h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
+        )
+        up = jnp.maximum(up, 0.0).astype(dt)
+        down = jnp.dot(
+            up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
+        )
+        h = h + down.astype(dt)
+
+    if out_proj_ref is not None:
+        out = jnp.dot(
+            h, out_proj_ref[:].astype(dt), preferred_element_type=jnp.float32
+        )
+    else:
+        out = h.astype(jnp.float32)
+    if spec.res_codeword_coeff:
+        out = out + cand
+
+    cond = jnp.broadcast_to(xh[None], (A, R, D)).reshape(A * R, D)
+    cand_abs = out + cond
+    diff = jnp.broadcast_to(xv[None], (A, R, D)).reshape(A * R, D) - cand_abs
+    d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
+    dist_ref[:] = _pack_ids_f32(d, ids).T  # (R, A)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "n_codes", "beams", "row_tile", "interpret"),
+)
+def selected_scores_pallas(
+    spec: QincoSpec,
+    x: jnp.ndarray,  # (NF/beams, D) per-vector targets
+    xh: jnp.ndarray,  # (NF, D)
+    vals: jnp.ndarray,  # (A, NF) packed pre-selection values
+    codebook: jnp.ndarray,  # (K, D)
+    in_proj,
+    concat_w,
+    concat_b,
+    ffn_up,
+    ffn_down,
+    out_proj,
+    n_codes: int,
+    beams: int = 1,
+    row_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-top-A candidate scoring with the fused concat table.
+
+    ``vals`` holds the externally selected candidates' packed partial
+    distances (codebook id in the low 8 mantissa bits, see
+    ``_pack_ids_f32``) — the only selection data the kernel needs.
+    Returns (NF, n_codes) full squared distances, ids packed in the low
+    bits.  Requires K <= 256 and no low-rank concat factor (the folded
+    table absorbs W1; callers fall back to ``candidate_scores_pallas``
+    otherwise)."""
+    NF, D = xh.shape
+    K = codebook.shape[0]
+    A = n_codes
+    if K > 256:
+        raise ValueError("selected_scores_pallas requires K <= 256")
+    if row_tile % beams or x.shape[0] * beams != NF:
+        raise ValueError("beams must divide row_tile and x rows * beams == NF")
+    pad = _round_up(NF, row_tile) - NF
+    if pad:
+        x = jnp.pad(x, ((0, pad // beams), (0, 0)))
+        xh = jnp.pad(xh, ((0, pad), (0, 0)))
+        # Padded lanes are zero: the all-ones equality mask they produce
+        # feeds rows that are sliced off below.
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    n_tiles = (NF + pad) // row_tile
+
+    # Folded concat table [C | C·P·(I+W1)] (see _fused_substep_kernel):
+    # h = h0·(I+W1) + cond·W2 + b with h0 = C·P.
+    dt = jnp.dtype(spec.compute_dtype)
+    h_w = in_proj.shape[1] if in_proj is not None else D
+    w1 = concat_w[:h_w]
+    w2 = concat_w[h_w:]
+    if in_proj is not None:
+        cp = jnp.dot(codebook.astype(dt), in_proj.astype(dt),
+                     preferred_element_type=jnp.float32)
+    else:
+        cp = codebook
+    h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
+                          preferred_element_type=jnp.float32)
+    table = jnp.concatenate([codebook, h_cand], axis=1).astype(dt)
+    w2 = w2.astype(dt)
+    ffn_up = ffn_up.astype(dt)
+    ffn_down = ffn_down.astype(dt)
+    if out_proj is not None:
+        out_proj = out_proj.astype(dt)
+
+    def row_spec(width, rows=row_tile):
+        return pl.BlockSpec(
+            (rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+
+    vals_spec = pl.BlockSpec(
+        (A, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    operands = [x, xh, vals, table, w2, concat_b.reshape(1, -1),
+                ffn_up, ffn_down, out_proj]
+    in_specs = [
+        row_spec(D, row_tile // beams),
+        row_spec(D),
+        vals_spec,
+        full(table),
+        full(w2),
+        full(concat_b.reshape(1, -1)),
+        full(ffn_up),
+        full(ffn_down),
+        None if out_proj is None else full(out_proj),
+    ]
+    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
+    has_out = out_proj is not None
+
+    def kernel_dispatch(*refs):
+        it = iter(refs[:-1])
+        x_r = next(it)
+        xh_r = next(it)
+        v_r = next(it)
+        tab_r = next(it)
+        w2_r = next(it)
+        cb_r = next(it)
+        fu_r = next(it)
+        fd_r = next(it)
+        op_r = next(it) if has_out else None
+        _selected_scores_kernel(
+            spec, A, beams, x_r, xh_r, v_r, tab_r, w2_r, cb_r, fu_r, fd_r,
+            op_r, refs[-1],
+        )
+
+    dists = pl.pallas_call(
+        kernel_dispatch,
+        out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[s for _, s in live],
+        out_specs=pl.BlockSpec(
+            (row_tile, A), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*[o for o, _ in live])
+    return dists[:NF]
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "row_tile", "interpret", "pack_ids")
 )

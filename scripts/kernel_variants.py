@@ -577,6 +577,58 @@ def main():
         dt = timeit(lambda **kw: full128(**kw), inputs, args.iters)
         print(f"{'full128':12s}: {dt*1e3:8.3f} ms/step")
 
+    if "selected" in want:
+        # The exact-selection production path (selected_scores_pallas):
+        # outside packed-distance top-A + the fused-table scoring kernel.
+        from qinco_tpu.ops.pallas_kernels import selected_scores_pallas
+
+        def sel_vals(kw):
+            xh = kw["xh"]
+            NF = xh.shape[0]
+            beams = SPEC.B
+            x_f = jnp.broadcast_to(
+                kw["x"][:, None, :], (NF // beams, beams, SPEC.D)
+            ).reshape(NF, SPEC.D)
+            C = kw["sub_codebook"]
+            d = jnp.sum(C * C, axis=1)[None, :] - 2.0 * jnp.dot(
+                x_f - xh, C.T, preferred_element_type=jnp.float32
+            )
+            d_pk = _pack_ids_f32(
+                d, jnp.arange(C.shape[0], dtype=jnp.int32)[None, :]
+            )
+            nvals, _ = jax.lax.approx_max_k(-d_pk, SPEC.A)
+            return (-nvals).T  # (A, NF)
+
+        for rt in (256, 512):
+            @jax.jit
+            def sel_full(rt=rt, **kw):
+                return selected_scores_pallas(
+                    SPEC.with_(fused_substep=False), kw["x"], kw["xh"],
+                    sel_vals(kw), kw["codebook"], kw["in_proj"],
+                    kw["concat_w"], kw["concat_b"], kw["ffn_up"],
+                    kw["ffn_down"], kw["out_proj"],
+                    n_codes=SPEC.A, beams=SPEC.B, row_tile=rt,
+                ).sum()
+
+            dt = timeit(lambda **kw: sel_full(**kw), inputs, args.iters)
+            print(f"{'selected@%d' % rt:14s}: {dt*1e3:8.3f} ms/step")
+
+        # kernel-only: selection precomputed once outside the timed scan
+        vals0 = jax.jit(sel_vals)(inputs[0])
+
+        @jax.jit
+        def sel_kernel_only(**kw):
+            return selected_scores_pallas(
+                SPEC.with_(fused_substep=False), kw["x"], kw["xh"], vals0,
+                kw["codebook"], kw["in_proj"], kw["concat_w"],
+                kw["concat_b"], kw["ffn_up"], kw["ffn_down"],
+                kw["out_proj"],
+                n_codes=SPEC.A, beams=SPEC.B, row_tile=256,
+            ).sum()
+
+        dt = timeit(lambda **kw: sel_kernel_only(**kw), inputs, args.iters)
+        print(f"{'selected-ko':14s}: {dt*1e3:8.3f} ms/step")
+
     if "sel" in want:
         run_variant("sel", sel_kernel, [], args.iters)
 

@@ -106,8 +106,26 @@ def main():
         compute_dtype="bfloat16",
     )
 
+    sel = base.with_(fused_substep=False)  # exact-selection kernel route
+
     if "bench" in steps:
+        log("sel_vec_per_s", round(_throughput(sel), 1))
         log("fused_vec_per_s", round(_throughput(base), 1))
+
+    if "sel" in steps:
+        # exact-selection kernel: throughput at the default row tile and
+        # MSE delta (should be ~0: selection exact, winners recomputed)
+        log("sel_vec_per_s", round(_throughput(sel), 1))
+        log("sel_approxbeam_vec_per_s",
+            round(_throughput(sel.with_(approx_beam=True)), 1))
+        exact = base.with_(fast=False, pallas=False, fused_substep=False,
+                           compute_dtype="float32")
+        m_exact = _mse(exact)
+        m_sel = _mse(sel)
+        log("mse_sel_delta_pct", round(100 * (m_sel / m_exact - 1), 3))
+        m_selab = _mse(sel.with_(approx_beam=True))
+        log("mse_sel_approxbeam_delta_pct",
+            round(100 * (m_selab / m_exact - 1), 3))
 
     if "ab" in steps:
         log("bf16acc_vec_per_s", round(_throughput(base.with_(bf16_acc=True)), 1))

@@ -47,6 +47,44 @@ def test_pallas_profile_matches_exact_on_cpu():
     assert agree > 0.95, agree
 
 
+def test_selected_kernel_codes_match_xla_exactly():
+    """The pallas profile routes through selected_scores_pallas (exact
+    top-A pre-selection passed as packed values): on CPU at f32 the
+    selection and scoring are both exact, so codes must equal the XLA
+    path's bit-for-bit (no ties in random data)."""
+    spec = QincoSpec(D=32, K=64, M=4, L=1, de=32, dh=64, A=8, B=8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(256, spec.D)).astype(np.float32)
+    )
+    codes_e, xhat_e, _ = encode(params, spec, x)
+    codes_p, xhat_p, _ = encode(params, spec.with_(pallas=True), x)
+    assert (np.asarray(codes_e) == np.asarray(codes_p)).all()
+    np.testing.assert_allclose(
+        np.asarray(xhat_e), np.asarray(xhat_p), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_lowrank_falls_back_to_idx_kernel():
+    """QINCo-LR (concat_rank) keeps a low-rank concat factor the folded
+    table cannot absorb — the pallas route must fall back to the id-based
+    scoring kernel and still track the XLA path."""
+    spec = QincoSpec(D=16, K=32, M=3, L=1, de=12, dh=24, A=8, B=4,
+                     concat_rank=6)
+    params = init_params(jax.random.PRNGKey(1), spec)
+    assert params.steps.concat_w2 is not None
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(64, spec.D)).astype(np.float32)
+    )
+    codes_e, xhat_e, _ = encode(params, spec, x)
+    codes_p, xhat_p, _ = encode(params, spec.with_(pallas=True), x)
+    mse_e = float(jnp.mean(jnp.sum((xhat_e - x) ** 2, -1)))
+    mse_p = float(jnp.mean(jnp.sum((xhat_p - x) ** 2, -1)))
+    assert mse_p <= mse_e * 1.01, (mse_p, mse_e)
+    agree = float((np.asarray(codes_e) == np.asarray(codes_p)).mean())
+    assert agree > 0.95, agree
+
+
 def test_pallas_profile_ivf_spec():
     spec = QincoSpec(D=16, K=32, M=3, L=1, de=12, dh=24, A=8, B=4, ivf_K=64,
                      pallas=True)
