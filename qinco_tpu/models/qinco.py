@@ -188,8 +188,18 @@ def _beam_step(
 
     if spec.has_substep():
         # Substep pre-selection: top n_codes fixed-codebook candidates for
-        # the residual (reference: qinco_base.py:114-121).
-        sub_d = pairwise_sqdist_partial(x_f - xh, p.sub_codebook)  # (NF, K)
+        # the residual (reference: qinco_base.py:114-121).  Under the
+        # opt-in fast profile the selection matmul runs at DEFAULT
+        # precision (bf16-rounded inputs on TPU) — selection already
+        # tolerates approx_max_k's ~0.95 recall there; the default
+        # profile stays XLA-exact (HIGHEST).
+        prec = (
+            jax.lax.Precision.DEFAULT if spec.fast
+            else jax.lax.Precision.HIGHEST
+        )
+        sub_d = pairwise_sqdist_partial(
+            x_f - xh, p.sub_codebook, precision=prec
+        )  # (NF, K)
         if spec.pallas and spec.K <= 256 and p.concat_w2 is None:
             # Exact-selection kernel route: pack each candidate's id into
             # its distance's low mantissa bits and select top-A *values* —

@@ -629,6 +629,120 @@ def main():
         dt = timeit(lambda **kw: sel_kernel_only(**kw), inputs, args.iters)
         print(f"{'selected-ko':14s}: {dt*1e3:8.3f} ms/step")
 
+    if "selcat" in want:
+        # selected-kernel fetch as ONE (A*R, K) @ (K, Wt) matmul (masks
+        # concatenated before the contraction) instead of A per-slot
+        # matmuls — same FLOPs, possibly better MXU scheduling.
+        from qinco_tpu.ops.pallas_kernels import _round_up as _ru
+
+        def selcat_kernel(spec, A, beams, x_ref, xh_ref, vals_ref, tab_ref,
+                          w2_ref, cb_ref, fu_ref, fd_ref, op_ref, dist_ref):
+            R = xh_ref.shape[0]
+            K = tab_ref.shape[0]
+            D = spec.D
+            dt = jnp.dtype(spec.compute_dtype)
+            xv = x_ref[:].astype(jnp.float32)
+            xv = jnp.broadcast_to(
+                xv[:, None, :], (R // beams, beams, D)).reshape(R, D)
+            xh = xh_ref[:].astype(jnp.float32)
+            vals = vals_ref[:]
+            ids = jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(vals, jnp.int32),
+                jnp.int32(0xFF))
+            cc_cond = jnp.dot(xh.astype(dt), w2_ref[:].astype(dt),
+                              preferred_element_type=jnp.float32)
+            ccb = cc_cond + cb_ref[0, :]
+            tab = tab_ref[:].astype(dt)
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
+            mask = jnp.concatenate(
+                [(col == ids[a][:, None]).astype(dt) for a in range(A)],
+                axis=0)  # (A*R, K)
+            ext = jnp.dot(mask, tab,
+                          preferred_element_type=jnp.float32).astype(dt)
+            cand = ext[:, :D].astype(jnp.float32)
+            De = ccb.shape[1]
+            h = (ext[:, D:]
+                 + jnp.broadcast_to(ccb[None], (A, R, De)).reshape(A * R, De)
+                 ).astype(dt)
+            for l in range(spec.L):
+                up = jnp.dot(h, fu_ref[l].astype(dt),
+                             preferred_element_type=jnp.float32)
+                up = jnp.maximum(up, 0.0).astype(dt)
+                down = jnp.dot(up, fd_ref[l].astype(dt),
+                               preferred_element_type=jnp.float32)
+                h = h + down.astype(dt)
+            out = jnp.dot(h, op_ref[:].astype(dt),
+                          preferred_element_type=jnp.float32)
+            out = out + cand
+            cond = jnp.broadcast_to(xh[None], (A, R, D)).reshape(A * R, D)
+            diff = (jnp.broadcast_to(xv[None], (A, R, D)).reshape(A * R, D)
+                    - out - cond)
+            d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
+            dist_ref[:] = _pack_ids_f32(d, ids).T
+
+        def run_selcat(row_tile):
+            spec = SPEC.with_(fused_substep=False)
+            A, B = spec.A, spec.B
+            NF = 4096 * B
+            D, De = spec.D, spec.de
+
+            def call(**kw):
+                dt = jnp.dtype(spec.compute_dtype)
+                xh = kw["xh"]
+                x_f = jnp.broadcast_to(
+                    kw["x"][:, None, :], (NF // B, B, D)).reshape(NF, D)
+                C = kw["sub_codebook"]
+                dd = jnp.sum(C * C, axis=1)[None, :] - 2.0 * jnp.dot(
+                    x_f - xh, C.T, preferred_element_type=jnp.float32)
+                d_pk = _pack_ids_f32(
+                    dd, jnp.arange(C.shape[0], dtype=jnp.int32)[None, :])
+                nvals, _ = jax.lax.approx_max_k(-d_pk, A)
+                vals = (-nvals).T
+                cp = jnp.dot(kw["codebook"].astype(dt),
+                             kw["in_proj"].astype(dt),
+                             preferred_element_type=jnp.float32)
+                w1 = kw["concat_w"][:De]
+                w2 = kw["concat_w"][De:].astype(dt)
+                h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
+                                      preferred_element_type=jnp.float32)
+                table = jnp.concatenate(
+                    [kw["codebook"], h_cand], axis=1).astype(dt)
+                cb = kw["concat_b"].reshape(1, -1)
+                pad = _ru(NF, row_tile) - NF
+                n_tiles = (NF + pad) // row_tile
+                ops = [kw["x"], xh, vals, table, w2, cb,
+                       kw["ffn_up"].astype(dt), kw["ffn_down"].astype(dt),
+                       kw["out_proj"].astype(dt)]
+                full = lambda a: pl.BlockSpec(
+                    a.shape, lambda i: tuple(0 for _ in a.shape),
+                    memory_space=pltpu.VMEM)
+                in_specs = [
+                    pl.BlockSpec((row_tile // B, D), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((row_tile, D), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((A, row_tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ] + [full(o) for o in ops[3:]]
+                out = pl.pallas_call(
+                    lambda *refs: selcat_kernel(spec, A, B, *refs),
+                    out_shape=jax.ShapeDtypeStruct((NF + pad, A),
+                                                   jnp.float32),
+                    grid=(n_tiles,),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec((row_tile, A), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    interpret=jax.default_backend() != "tpu",
+                )(*ops)
+                return out[:NF].sum()
+
+            jitted = jax.jit(call)
+            dt_s = timeit(lambda **kw: jitted(**kw), inputs, args.iters)
+            print(f"{'selcat@%d' % row_tile:14s}: {dt_s*1e3:8.3f} ms/step")
+
+        for rt in (256, 512):
+            run_selcat(rt)
+
     if "sel" in want:
         run_variant("sel", sel_kernel, [], args.iters)
 
