@@ -64,12 +64,12 @@ class QincoSpec:
     # semantics (exact reformulation); requires fold_up and no low-rank
     # factor — falls back to the blocked form otherwise.
     perbin: bool = False
-    # Accumulate the fused kernel's FFN matmuls in the compute dtype
-    # (bf16) instead of f32: halves the VREG traffic between MXU ops and
-    # the activation VMEM, letting the row tile double.  Candidate
-    # *ranking* absorbs the extra rounding (winners are recomputed
-    # exactly); opt-in, MSE delta validated in tests/bench.
-    bf16_acc: bool = False
+    # NB: a former `bf16_acc` knob (bf16 MXU accumulators in the fused
+    # kernel) was removed after hardware validation: Mosaic rejects
+    # non-32-bit matmul accumulators ("'tpu.matmul' op Expected matmul
+    # acc to be 32-bit", measured 2026-08-18 on v5e), so the option
+    # could never be honored on a real TPU.  All Pallas matmuls
+    # accumulate f32 and cast to the compute dtype immediately after.
 
     # ---- derived sizes ---------------------------------------------------
     @property
@@ -149,5 +149,4 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         fused_substep=bool(cfg.get("fused_substep", False)),
         perbin=bool(cfg.get("perbin", False)),
         approx_beam=bool(cfg.get("approx_beam", False)),
-        bf16_acc=bool(cfg.get("bf16_acc", False)),
     )

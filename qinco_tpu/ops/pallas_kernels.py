@@ -263,7 +263,6 @@ def _fused_substep_kernel(
         # condition rows, so the (A*R, Wt) ext concat and all (A, R, .)
         # broadcasts disappear; only A (1, R) distance rows concatenate
         # at the end.  Costs A-way unrolled (smaller) matmuls instead.
-        acc_t = dt if spec.bf16_acc else jnp.float32
         r = xv - xh  # ||x - (out + cand + xh)||^2 == ||r - out - cand||^2
         cc_cond = jnp.dot(
             xh.astype(dt), w2_ref[:].astype(dt),
@@ -285,16 +284,16 @@ def _fused_substep_kernel(
             h = (fetch[:, off_h:off_up] + ccb).astype(dt)
             up1 = jnp.maximum(fetch[:, off_up:] + up_cond, 0.0).astype(dt)
             down = jnp.dot(
-                up1, ffn_down_ref[0].astype(dt), preferred_element_type=acc_t
+                up1, ffn_down_ref[0].astype(dt), preferred_element_type=jnp.float32
             )
             h = h + down.astype(dt)
             for l in range(1, spec.L):
                 up = jnp.dot(
-                    h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
+                    h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
                 )
                 up = jnp.maximum(up, 0.0).astype(dt)
                 down = jnp.dot(
-                    up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
+                    up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
                 )
                 h = h + down.astype(dt)
             if out_proj_ref is not None:
@@ -328,8 +327,6 @@ def _fused_substep_kernel(
     )  # (A·R, Wt) dt: [cand | h-init | W1·h]
     cand = ext[:, :D]
     Wt = ext.shape[1]
-    # FFN accumulation dtype (see below); needed early by the up-fold.
-    acc_t = dt if spec.bf16_acc else jnp.float32
     start_l = 0
     if off_up:
         # Materialize the codeword slice in f32 now so the wide ext
@@ -364,7 +361,7 @@ def _fused_substep_kernel(
             0.0,
         ).astype(dt)
         down = jnp.dot(
-            up1, ffn_down_ref[0].astype(dt), preferred_element_type=acc_t
+            up1, ffn_down_ref[0].astype(dt), preferred_element_type=jnp.float32
         )
         h = h_in + down.astype(dt)
         start_l = 1
@@ -406,16 +403,15 @@ def _fused_substep_kernel(
             )
         h = h + (cc + concat_b_ref[0, :]).astype(dt)
 
-    # FFN accumulation in acc_t: f32 by default; spec.bf16_acc keeps the
-    # whole residual stream in the compute dtype (winners recomputed
-    # exactly outside, so only candidate *ranking* sees the rounding).
+    # FFN matmuls accumulate f32 (Mosaic requires 32-bit matmul
+    # accumulators on TPU) and cast back to the compute dtype.
     for l in range(start_l, spec.L):
         up = jnp.dot(
-            h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
+            h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
         )
         up = jnp.maximum(up, 0.0).astype(dt)
         down = jnp.dot(
-            up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
+            up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
         )
         h = h + down.astype(dt)
 
@@ -634,7 +630,6 @@ def _selected_scores_kernel(
     K = table_ref.shape[0]
     D = spec.D
     dt = jnp.dtype(spec.compute_dtype)
-    acc_t = dt if spec.bf16_acc else jnp.float32
 
     xv = x_ref[:].astype(jnp.float32)  # (R/beams, D)
     xv = jnp.broadcast_to(
@@ -677,11 +672,11 @@ def _selected_scores_kernel(
 
     for l in range(spec.L):
         up = jnp.dot(
-            h, ffn_up_ref[l].astype(dt), preferred_element_type=acc_t
+            h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
         )
         up = jnp.maximum(up, 0.0).astype(dt)
         down = jnp.dot(
-            up, ffn_down_ref[l].astype(dt), preferred_element_type=acc_t
+            up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
         )
         h = h + down.astype(dt)
 

@@ -5,8 +5,7 @@ The axon relay dial costs 30s-4min per interpreter, so this script
 batches everything a perf session needs into one process:
 
   1. bench           : QINCo2-S encode throughput (bench.py protocol)
-  2. bf16_acc A/B    : fused profile vs spec.bf16_acc=True (+row tiles)
-  3. mse             : production-shape MSE deltas exact/fused/bf16_acc
+  2. mse             : production-shape MSE deltas exact vs fused
   4. profile         : per-component timings (kernel / topk / recompute)
 
 Usage: python scripts/tpu_session.py [--steps bench,ab,mse,profile]
@@ -38,6 +37,17 @@ def log(k, v):
         Path(OUT_PATH).write_text(json.dumps(RESULTS, indent=1))
     except OSError:
         pass
+
+
+def safe(k, fn):
+    """Record fn() under key k; a failure records the error and moves on
+    (one Mosaic compile failure must not kill the whole session —
+    learned 2026-08-18 when a bf16-accumulator VerificationError aborted
+    the remaining 7 steps)."""
+    try:
+        log(k, fn())
+    except Exception as e:
+        log(k, f"failed: {type(e).__name__}: {str(e)[:200]}")
 
 
 def _throughput(spec, batch=4096, n_iter=8, seed=0):
@@ -109,40 +119,38 @@ def main():
     sel = base.with_(fused_substep=False)  # exact-selection kernel route
 
     if "bench" in steps:
-        log("sel_vec_per_s", round(_throughput(sel), 1))
-        log("fused_vec_per_s", round(_throughput(base), 1))
+        safe("sel_vec_per_s", lambda: round(_throughput(sel), 1))
+        safe("fused_vec_per_s", lambda: round(_throughput(base), 1))
 
     if "sel" in steps:
         # exact-selection kernel: throughput at the default row tile and
         # MSE delta (should be ~0: selection exact, winners recomputed)
-        log("sel_vec_per_s", round(_throughput(sel), 1))
-        log("sel_approxbeam_vec_per_s",
-            round(_throughput(sel.with_(approx_beam=True)), 1))
+        safe("sel_vec_per_s", lambda: round(_throughput(sel), 1))
+        safe("sel_approxbeam_vec_per_s",
+             lambda: round(_throughput(sel.with_(approx_beam=True)), 1))
         exact = base.with_(fast=False, pallas=False, fused_substep=False,
                            compute_dtype="float32")
         m_exact = _mse(exact)
-        m_sel = _mse(sel)
-        log("mse_sel_delta_pct", round(100 * (m_sel / m_exact - 1), 3))
-        m_selab = _mse(sel.with_(approx_beam=True))
-        log("mse_sel_approxbeam_delta_pct",
-            round(100 * (m_selab / m_exact - 1), 3))
+        safe("mse_sel_delta_pct",
+             lambda: round(100 * (_mse(sel) / m_exact - 1), 3))
+        safe("mse_sel_approxbeam_delta_pct",
+             lambda: round(
+                 100 * (_mse(sel.with_(approx_beam=True)) / m_exact - 1), 3))
 
     if "ab" in steps:
-        log("bf16acc_vec_per_s", round(_throughput(base.with_(bf16_acc=True)), 1))
         # second sample of the baseline to bound session noise
-        log("fused_vec_per_s_2", round(_throughput(base, seed=2), 1))
+        safe("fused_vec_per_s_2", lambda: round(_throughput(base, seed=2), 1))
 
     if "mse" in steps:
         exact = base.with_(fast=False, pallas=False, fused_substep=False,
                            compute_dtype="float32")
         m_exact = _mse(exact)
-        m_fused = _mse(base)
-        m_bf16 = _mse(base.with_(bf16_acc=True))
         log("mse_exact", m_exact)
-        log("mse_fused", m_fused)
-        log("mse_bf16acc", m_bf16)
-        log("mse_fused_delta_pct", round(100 * (m_fused / m_exact - 1), 3))
-        log("mse_bf16acc_delta_pct", round(100 * (m_bf16 / m_exact - 1), 3))
+        def _fused_delta():
+            m_fused = _mse(base)
+            log("mse_fused", m_fused)
+            return round(100 * (m_fused / m_exact - 1), 3)
+        safe("mse_fused_delta_pct", _fused_delta)
 
     if "train" in steps:
         # jitted train-step device time at batch 1024 (arch doc anchor)
@@ -226,24 +234,24 @@ def main():
             log("kmeans20", f"failed: {type(e).__name__}: {e}")
 
     if "approx" in steps:
-        log("approx_beam_vec_per_s",
-            round(_throughput(base.with_(approx_beam=True)), 1))
-        log("approx_perbin_vec_per_s",
-            round(_throughput(base.with_(approx_beam=True, perbin=True)), 1))
+        safe("approx_beam_vec_per_s",
+             lambda: round(_throughput(base.with_(approx_beam=True)), 1))
+        safe("approx_perbin_vec_per_s",
+             lambda: round(
+                 _throughput(base.with_(approx_beam=True, perbin=True)), 1))
         exact = base.with_(fast=False, pallas=False, fused_substep=False,
                            compute_dtype="float32")
         m_exact = _mse(exact)
-        m_approx = _mse(base.with_(approx_beam=True))
-        log("mse_approx_beam_delta_pct",
-            round(100 * (m_approx / m_exact - 1), 3))
+        safe("mse_approx_beam_delta_pct",
+             lambda: round(
+                 100 * (_mse(base.with_(approx_beam=True)) / m_exact - 1), 3))
 
     if "perbin" in steps:
         # end-to-end encode throughput with the per-bin kernel chain
-        log("perbin_vec_per_s", round(_throughput(base.with_(perbin=True)), 1))
-        log("perbin_bf16acc_vec_per_s",
-            round(_throughput(base.with_(perbin=True, bf16_acc=True)), 1))
+        safe("perbin_vec_per_s",
+             lambda: round(_throughput(base.with_(perbin=True)), 1))
         # baseline re-sample to bound session noise
-        log("fused_vec_per_s_b", round(_throughput(base, seed=3), 1))
+        safe("fused_vec_per_s_b", lambda: round(_throughput(base, seed=3), 1))
         # direct kernel timing at several row tiles
         import jax.numpy as jnp
 

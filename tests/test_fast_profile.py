@@ -230,26 +230,11 @@ def test_approx_beam_plumbing():
     np.testing.assert_allclose(np.asarray(xhat_e), np.asarray(xhat_a))
 
 
-def test_bf16_acc_profile_close_to_fused():
-    """bf16-accumulated FFN (spec.bf16_acc) stays close in MSE to the
-    f32-accumulated fused profile; selected reconstructions are exact in
-    both (recomputed outside the kernel)."""
-    spec = QincoSpec(
-        D=16, K=32, M=4, L=2, de=12, dh=24, A=8, B=4,
-        pallas=True, fast=True, fused_substep=True,
-        compute_dtype="bfloat16",
-    )
-    params = init_params(jax.random.PRNGKey(0), spec)
-    x = jnp.asarray(
-        np.random.default_rng(7).normal(size=(64, spec.D)).astype(np.float32)
-    )
-    codes_f, xhat_f, _ = encode(params, spec, x)
-    codes_b, xhat_b, _ = encode(params, spec.with_(bf16_acc=True), x)
-    mse_f = float(jnp.mean(jnp.sum((xhat_f - x) ** 2, -1)))
-    mse_b = float(jnp.mean(jnp.sum((xhat_b - x) ** 2, -1)))
-    assert mse_b <= mse_f * 1.05, (mse_b, mse_f)
-    # decode must reproduce xhat exactly in both profiles
-    from qinco_tpu.models import decode
+def test_no_bf16_accumulator_knob():
+    """The former `bf16_acc` knob is gone: Mosaic rejects non-32-bit
+    matmul accumulators on real TPUs ('tpu.matmul' op Expected matmul
+    acc to be 32-bit, v5e 2026-08-18), so the option could never be
+    honored on hardware and was removed from the spec."""
+    import dataclasses
 
-    dec = decode(params, spec.with_(bf16_acc=True), codes_b)
-    assert float(jnp.mean((dec - xhat_b) ** 2)) < 1e-10
+    assert "bf16_acc" not in {f.name for f in dataclasses.fields(QincoSpec)}
