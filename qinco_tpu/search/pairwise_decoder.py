@@ -397,6 +397,13 @@ def run_train_pairwise_decoder(task):
     resid = train_vecs - ivf_centroids[train_codes[:, 0]]
     M_target = round(cfg.n_pairwise_codebooks * cfg.M)
 
+    # 'auto' = pseudo-count 8: regularizes the sparse-occupancy regime
+    # (1M rows / 65536 bins ~ 15 samples per bin) where the reference's
+    # unshrunk conditional means overfit and mid-rerank hurts recall;
+    # a no-op for bins with counts >> 8, so safe at every scale.
+    shrinkage = cfg.pairwise_shrinkage
+    shrinkage = 8.0 if shrinkage == "auto" else float(shrinkage)
+
     dec = train_pairwise_decoder(
         train_codes[:, 1:].T,
         train_codes[:, 0],
@@ -405,7 +412,7 @@ def run_train_pairwise_decoder(task):
         K_base=cfg.K,
         M_target=M_target,
         seed=cfg.seed,
-        shrinkage=float(cfg.pairwise_shrinkage),
+        shrinkage=shrinkage,
         verbose=cfg.verbose,
         log=task.print,
     )
