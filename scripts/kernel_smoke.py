@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Per-variant TPU kernel smoke probe (VERDICT r2 weak #7).
+
+Compiles and runs every encode profile / Pallas kernel variant once at
+production shapes, each in its OWN subprocess with a wall-clock budget,
+and writes KERNEL_SMOKE.json: {variant: "ok:<vec/s>" | "error:..."}.
+
+Purpose: decouple "does this kernel work on real hardware" from the
+round's bench deliverable — CPU interpret-mode tests cannot catch
+Mosaic compile failures or VMEM blowups, and one flaky kernel must not
+poison the bench record.  Run at TPU-session start and before bench;
+bench.py consults the artifact to deprioritize variants marked error.
+
+Usage:
+  python scripts/kernel_smoke.py [--out KERNEL_SMOKE.json]
+  python scripts/kernel_smoke.py --one NAME   # child mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import bench  # noqa: E402  (repo-root bench.py: profile ladder + protocol)
+
+# bench's ladder plus the experimental kernel variants not on the ladder.
+VARIANTS = dict(bench.PROFILES)
+VARIANTS.update({
+    "perbin": dict(fast=True, pallas=True, fused_substep=True,
+                   compute_dtype="bfloat16", perbin=True),
+    "selected_approxbeam": dict(fast=True, pallas=True,
+                                compute_dtype="bfloat16", approx_beam=True),
+})
+
+PER_VARIANT_BUDGET_S = 240.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(Path(__file__).parent.parent
+                                         / "KERNEL_SMOKE.json"))
+    ap.add_argument("--one", default=None)
+    args = ap.parse_args()
+
+    if args.one is not None:
+        vps = bench.measure_profile(VARIANTS[args.one])
+        print(json.dumps({"vec_per_s": round(vps, 1)}), flush=True)
+        return
+
+    results: dict[str, str] = {}
+    for name in VARIANTS:
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", name],
+                capture_output=True, text=True,
+                timeout=PER_VARIANT_BUDGET_S,
+            )
+            out = None
+            for line in reversed(r.stdout.strip().splitlines() or [""]):
+                try:
+                    out = json.loads(line)["vec_per_s"]
+                    break
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    continue
+            if out is not None:
+                results[name] = f"ok:{out}"
+            else:
+                tail = (r.stderr or "").strip().splitlines()
+                results[name] = "error:" + (tail[-1][:160] if tail else "?")
+        except subprocess.TimeoutExpired:
+            results[name] = f"error:timeout>{PER_VARIANT_BUDGET_S:.0f}s"
+        print(json.dumps({name: results[name],
+                          "t_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        Path(args.out).write_text(json.dumps(
+            {"utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+             "results": results}, indent=1))
+    print("wrote", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Converged-checkpoint parity oracle against the torch reference.
+
+The reference's quality oracle is its pretrained checkpoint zoo
+(reference README.md:82-105), which this sandbox cannot download (zero
+egress).  The strongest available substitute (VERDICT r2, missing #1):
+train the ACTUAL reference implementation (imported read-only from
+/root/reference) to convergence on synthetic clustered data with its
+documented recipe (AdamW lr 8e-4, wd 0.1, value-clip 0.1, ramp-3 cosine
+— reference config/qinco_cfg.yaml:33-41), save a checkpoint in the
+reference's own layout (reference qinco/utils.py:100-137), run it
+through OUR `task=convert` + eval, and record the end-to-end MSE delta.
+
+Writes REFERENCE_ORACLE.json at the repo root; tests/test_reference_oracle.py
+asserts on the committed artifact.
+
+Run on CPU with the cleaned env:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python scripts/reference_oracle.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+REF = "/root/reference"
+sys.path.insert(0, str(REPO))
+
+
+def make_data(rng, n, D, n_clusters=512, scale=1.5):
+    """Clustered Gaussian mixture: quantizable structure, like real
+    descriptor data (pure iid Gaussian gives RQ nothing to learn)."""
+    centers = rng.normal(size=(n_clusters, D)).astype(np.float32) * scale
+    which = rng.integers(0, n_clusters, size=n)
+    return centers[which] + rng.normal(size=(n, D)).astype(np.float32) * 0.35
+
+
+def build_ref_model(D, K, M, L, de, dh, A, B, data_mean, data_std):
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from qinco.utils import SharedCfgState
+    from qinco.model.qinco_base import QINCo
+
+    class _Accel:
+        device = torch.device("cpu")
+
+        def print(self, *a, **k):
+            print(*a, **k)
+
+    cfg = SharedCfgState({
+        "K": K, "M": M, "L": L, "de": de, "dh": dh, "A": A, "B": B,
+        "ivf_K": None, "ivf_in_use": False, "qinco1_mode": False,
+        "task": "train", "enc_max_bs": 2**17, "codebook_noise_init": 0.1,
+    })
+    cfg._accelerator = _Accel()
+    cfg._M_ivf = M
+    cfg._K_vals = [K] * M
+    cfg._D = D
+    cfg._ivf_book = None
+    cfg._qinco_jit = False
+    cfg._data_mean = data_mean
+    cfg._data_std = data_std
+    cfg._cur_epoch = 0
+
+    torch.manual_seed(0)
+    return QINCo(cfg), cfg
+
+
+def init_codebooks_rq(model, cfg, x_train):
+    """Reference-faithful codebook init: stage-wise residual k-means in
+    raw space (the reference's TorchRQ, vrq.py:91-154, can't be imported
+    here — its module does `import faiss` at top level and faiss is
+    absent — so we re-run the same Lloyd recipe: 10 iterations per stage
+    on the running residual) fed into the reference's OWN
+    `initialize_qinco_codebooks` (qinco_base.py:28-44)."""
+    import torch
+
+    from qinco.model.qinco_base import initialize_qinco_codebooks
+
+    resid = torch.from_numpy(x_train.astype(np.float32)).clone()
+    books = []
+    K = cfg.K
+    g = torch.Generator().manual_seed(1)
+    for m in range(cfg._M_ivf):
+        idx = torch.randperm(len(resid), generator=g)[:K]
+        cent = resid[idx].clone()
+        for _ in range(10):
+            d = torch.cdist(resid, cent) ** 2
+            assign = d.argmin(1)
+            for k in range(K):
+                sel = resid[assign == k]
+                if len(sel):
+                    cent[k] = sel.mean(0)
+                else:  # empty-centroid refill (vrq.py:75-83)
+                    cent[k] = resid[torch.randint(len(resid), (1,),
+                                                  generator=g)][0]
+        books.append(cent.clone())
+        d = torch.cdist(resid, cent) ** 2
+        resid = resid - cent[d.argmin(1)]
+
+    with torch.no_grad():
+        initialize_qinco_codebooks(cfg, model, books)
+
+
+def train_reference(model, cfg, x_train, epochs, batch, lr=8e-4):
+    import torch
+
+    # reference loss aggregation (qinco_tasks.py:171-176; that module
+    # can't be imported faiss-free): sum of the per-step loss dict
+    def aggregate_losses(cfg, losses):
+        return torch.sum(torch.stack(list(losses.values())))
+
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=0.1)
+    n = len(x_train)
+    ramp = 3
+    for ep in range(epochs):
+        cfg._cur_epoch = ep
+        # ramp-3 cosine, stepped per epoch (reference steps fractionally
+        # per batch; per-epoch is equivalent at this granularity)
+        if ep < ramp:
+            f = (ep + 1) / ramp
+        else:
+            t = (ep - ramp) / max(1, epochs - ramp)
+            f = 0.01 + 0.99 * 0.5 * (1 + math.cos(math.pi * t))
+        for gparam in opt.param_groups:
+            gparam["lr"] = lr * f
+
+        perm = np.random.default_rng(ep).permutation(n)
+        tot, usage = 0.0, None
+        t0 = time.time()
+        for i in range(0, n - batch + 1, batch):
+            xb = torch.from_numpy(x_train[perm[i:i + batch]])
+            codes, _, losses = model(xb, step="train")
+            loss = aggregate_losses(cfg, losses)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_value_(model.parameters(), 0.1)
+            opt.step()
+            tot += float(loss)
+            # per-step codeword usage for the dead-code reset
+            u = [torch.bincount(c, minlength=cfg.K) for c in codes]
+            usage = u if usage is None else [a + b for a, b in zip(usage, u)]
+        with torch.no_grad():
+            model.reset_unused_codebooks(usage)
+        print(f"epoch {ep}: loss {tot / (n // batch):.4f} lr {lr * f:.2e} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+
+def ref_eval_mse(model, x):
+    import torch
+
+    model.eval()
+    with torch.no_grad():
+        xs = torch.from_numpy(x)
+        codes = model(xs, step="encode")
+        rec = model(codes, step="decode")
+        mse = float(((rec - xs) ** 2).sum(-1).mean())
+    model.train()
+    return mse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-train", type=int, default=100_000)
+    ap.add_argument("--n-val", type=int, default=10_000)
+    ap.add_argument("--out", default=str(REPO / "REFERENCE_ORACLE.json"))
+    ap.add_argument("--workdir", default="/tmp/ref_oracle")
+    args = ap.parse_args()
+
+    import torch
+
+    torch.set_num_threads(4)
+    D, K, M, L, de, dh, A, B = 32, 64, 4, 2, 24, 48, 8, 8
+
+    rng = np.random.default_rng(7)
+    x_all = make_data(rng, args.n_train + args.n_val, D)
+    x_train, x_val = x_all[:args.n_train], x_all[args.n_train:]
+    data_mean = x_train[:100_000].mean(0)
+    data_std = float(x_train[:100_000].std())
+
+    model, cfg = build_ref_model(D, K, M, L, de, dh, A, B, data_mean, data_std)
+    init_codebooks_rq(model, cfg, x_train[:20_000])
+    train_reference(model, cfg, x_train, args.epochs, batch=1024)
+    mse_ref = ref_eval_mse(model, x_val)
+    print(f"reference converged val MSE: {mse_ref:.4f}", flush=True)
+
+    # save in the reference's checkpoint layout (qinco/utils.py:100-137)
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    pt = wd / "reference_converged.pt"
+    torch.save({
+        "epoch": args.epochs, "model": model.state_dict(),
+        "optimizer": None, "scheduler": None, "logger": None,
+        "parameters": {"K": K, "M": M, "de": de, "dh": dh, "L": L,
+                       "A": A, "B": B, "ivf_in_use": False,
+                       "qinco1_mode": False},
+        "data_dim": D,
+    }, str(pt))
+
+    # ---- our side: convert task -> load -> exact-profile eval ----
+    import run_qinco
+
+    out_npz = wd / "converted.npz"
+    rc = run_qinco.main(["task=convert", f"model={pt}", f"output={out_npz}",
+                         "verbose=false"])
+    assert rc in (0, None)
+
+    import jax
+    import jax.numpy as jnp
+
+    from qinco_tpu.checkpoint import load_checkpoint
+    from qinco_tpu.models.params import init_model_state, init_params
+    from qinco_tpu.models.qinco import decode, encode
+    from qinco_tpu.models.spec import QincoSpec
+
+    spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=A, B=B)
+    restored = load_checkpoint(
+        out_npz,
+        params_template=init_params(jax.random.PRNGKey(0), spec),
+        mstate_template=init_model_state(spec))
+    params = restored["params"]
+
+    xj = jnp.asarray(x_val)
+    codes, _, _ = encode(params, spec, xj)
+    rec = np.asarray(decode(params, spec, codes))
+    mse_ours = float(((rec - x_val) ** 2).sum(-1).mean())
+    delta_pct = 100 * (mse_ours / mse_ref - 1)
+    print(f"ours converted val MSE: {mse_ours:.4f} (delta {delta_pct:+.3f}%)",
+          flush=True)
+
+    Path(args.out).write_text(json.dumps({
+        "config": {"D": D, "K": K, "M": M, "L": L, "de": de, "dh": dh,
+                   "A": A, "B": B, "epochs": args.epochs,
+                   "n_train": args.n_train, "n_val": args.n_val},
+        "mse_reference": round(mse_ref, 4),
+        "mse_ours_converted": round(mse_ours, 4),
+        "delta_pct": round(delta_pct, 3),
+        "protocol": "reference torch model trained to convergence offline "
+                    "(its checkpoint zoo is unreachable: zero-egress "
+                    "sandbox), checkpoint saved in reference layout, "
+                    "converted via task=convert, evaluated with the exact "
+                    "f32 profile on the same held-out split",
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, indent=1))
+    print("wrote", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
