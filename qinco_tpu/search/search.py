@@ -247,7 +247,8 @@ def run_search_ivf(task):
         seen_parameters.append(parameters)
 
         max_perf, min_time = op.predict_bounds(key)
-        if not op.is_pareto_optimal(max_perf, min_time):
+        if not cfg.search.explore_all and not op.is_pareto_optimal(
+                max_perf, min_time):
             log(f"SKIP, {max_perf=:.3f} {min_time=:.3f}")
             continue
 

@@ -221,7 +221,7 @@ def main():
 
     from qinco_tpu.checkpoint import load_checkpoint
     from qinco_tpu.models.params import init_model_state, init_params
-    from qinco_tpu.models.qinco import decode, encode
+    from qinco_tpu.models.qinco import decode_raw, encode_raw
     from qinco_tpu.models.spec import QincoSpec
 
     spec = QincoSpec(D=D, K=K, M=M, L=L, de=de, dh=dh, A=A, B=B)
@@ -232,8 +232,8 @@ def main():
     params = restored["params"]
 
     xj = jnp.asarray(x_val)
-    codes, _, _ = encode(params, spec, xj)
-    rec = np.asarray(decode(params, spec, codes))
+    codes = encode_raw(params, spec, xj)
+    rec = np.asarray(decode_raw(params, spec, codes))
     mse_ours = float(((rec - x_val) ** 2).sum(-1).mean())
     delta_pct = 100 * (mse_ours / mse_ref - 1)
     print(f"ours converted val MSE: {mse_ours:.4f} (delta {delta_pct:+.3f}%)",

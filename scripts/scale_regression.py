@@ -128,6 +128,11 @@ def main():
                     help="also run the search sweep with cpu=true "
                          "(the reference's timing protocol)")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--dense-sweep", action="store_true",
+                    help="54-point grid with the Pareto skip disabled: "
+                         "measures the full frontier so the generated "
+                         "exploration prior can be validated against it "
+                         "(VERDICT r2 #5)")
     ap.add_argument("--tiny-model", action="store_true",
                     help="small explicit model args + no Pallas (CPU smoke)")
     args = ap.parse_args()
@@ -283,14 +288,26 @@ def main():
     # 6. Search sweep (TPU coarse + native scan)
     def search_sweep(cpu: bool):
         suffix = "_cpu" if cpu else ""
+        if args.dense_sweep:
+            grid = [
+                "search.nprobe=[2,4,8,16,32,64]",
+                "search.nshort=[10,30,100]",
+                "search.nmid_short=[1,2,3]",
+                "search.explore_all=true",
+            ]
+        else:
+            grid = [
+                "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
+                "search.nmid_short=[1,3]",
+            ]
         cmd = [
             "task=search", f"model={out}/model.npz",
             f"ivf_centroids={out}/ivf.npy", f"index={out}/index.qivf",
             f"queries={out}/queries.npy", f"queries_gt={out}/gt.npy",
             f"pairwise_decoder={out}/pairwise.npz",
             f"output={out}/results{suffix}.json",
-            "search.nprobe=[4,16,64]", "search.nshort=[10,100]",
-            "search.nmid_short=[1,3]", "search.quantizer_efSearch=[]",
+        ] + grid + [
+            "search.quantizer_efSearch=[]",
             # nthreads=0 -> one OMP thread per core.  The config default
             # (32, the reference's protocol) oversubscribes small hosts
             # 8x and inflates scan times ~4x.
@@ -317,6 +334,10 @@ def main():
     # 7. Pareto-prior ordering check: do the first-k explored points hit
     # the measured recall/time frontier? (VERDICT r1 #4)
     def pareto_check(res, tag):
+        """Validate the generated exploration prior against the measured
+        (recall, time) frontier: what fraction of the true frontier do
+        the first-k points in prior order cover?  Results appear in
+        ivf_real_res in exploration order (VERDICT r2 #5)."""
         pts = [
             (r["recalls"]["1"], r["t_total"], i)
             for i, r in enumerate(res["ivf_real_res"])
@@ -329,16 +350,20 @@ def main():
             )
             if not dominated:
                 frontier.add(i)
-        k = max(3, len(frontier))
-        first_k = set(range(min(k, len(pts))))
-        hit = len(frontier & first_k) / max(len(frontier), 1)
+        nf = max(len(frontier), 1)
+        hits = {}
+        for mult in (1, 2):
+            k = min(mult * nf, len(pts))
+            hit = len(frontier & set(range(k))) / nf
+            hits[f"first_{mult}x_frontier_hit_fraction"] = round(hit, 3)
         report[f"pareto_prior{tag}"] = {
+            "n_measured": len(pts),
             "frontier_size": len(frontier),
             "frontier_indices_in_explore_order": sorted(frontier),
-            "first_k_hit_fraction": round(hit, 3),
+            **hits,
         }
-        log(f"[{tag or 'tpu'}] Pareto frontier {sorted(frontier)}; "
-            f"first-{k} explored hit {hit * 100:.0f}% of it")
+        log(f"[{tag or 'tpu'}] frontier {sorted(frontier)} of {len(pts)} "
+            f"measured; prior hit fractions {hits}")
 
     pareto_check(res, "")
     if res_cpu is not None:
