@@ -34,20 +34,30 @@ namespace {
 
 struct InvList {
   std::vector<int64_t> ids;
-  std::vector<uint8_t> codes;  // n * M bytes
+  std::vector<uint8_t> codes;  // n * M * code_bytes bytes
   std::vector<uint8_t> norms;  // n bytes (quantized ||r||^2)
 };
 
 struct IvfIndex {
   int nlist = 0;
-  int M = 0;     // codes per entry (1 byte each)
-  int K = 256;   // codewords per step (LUT stride, <= 256)
+  int M = 0;     // codes per entry
+  int K = 256;   // codewords per step (LUT stride); K > 256 -> 2-byte codes
   int D = 0;     // vector dim (metadata only)
+  int code_bytes = 1;  // 1 (K <= 256) or 2 (K <= 65536, paired codes)
   float norm_min = 0.f;
   float norm_scale = 1.f;  // norm = norm_min + q * norm_scale
   std::vector<InvList> lists;
   int64_t ntotal = 0;
 };
+
+// Per-entry code read: codes are stored little-endian host order, so the
+// 2-byte case is a plain uint16 view.  The code_bytes branch is
+// loop-invariant per list and fully predicted.
+inline int code_at(const uint8_t* row, int m, int code_bytes) {
+  return code_bytes == 1
+             ? (int)row[m]
+             : (int)reinterpret_cast<const uint16_t*>(row)[m];
+}
 
 inline float decode_norm(const IvfIndex* idx, uint8_t q) {
   return idx->norm_min + q * idx->norm_scale;
@@ -71,11 +81,13 @@ struct HeapCmp {
 extern "C" {
 
 IvfIndex* qivf_new(int nlist, int M, int K, int D) {
+  if (K > 65536) return nullptr;
   auto* idx = new IvfIndex();
   idx->nlist = nlist;
   idx->M = M;
   idx->K = K;
   idx->D = D;
+  idx->code_bytes = (K > 256) ? 2 : 1;
   idx->lists.resize(nlist);
   return idx;
 }
@@ -86,6 +98,7 @@ int qivf_nlist(const IvfIndex* idx) { return idx->nlist; }
 int qivf_code_m(const IvfIndex* idx) { return idx->M; }
 int qivf_code_k(const IvfIndex* idx) { return idx->K; }
 int qivf_dim(const IvfIndex* idx) { return idx->D; }
+int qivf_code_bytes(const IvfIndex* idx) { return idx->code_bytes; }
 int64_t qivf_ntotal(const IvfIndex* idx) { return idx->ntotal; }
 int64_t qivf_list_size(const IvfIndex* idx, int list_no) {
   return (int64_t)idx->lists[list_no].ids.size();
@@ -107,14 +120,16 @@ void qivf_train_norm(IvfIndex* idx, const float* norms, int64_t n) {
   idx->norm_scale = (hi > lo) ? (hi - lo) / 255.f : 1.f;
 }
 
-// Add n entries to one inverted list. codes: (n, M) uint8; norms: (n,) f32.
+// Add n entries to one inverted list.  codes: (n, M) raw bytes at the
+// index's code width (uint8 when K <= 256, uint16 otherwise); norms: (n,) f32.
 void qivf_add_entries(IvfIndex* idx, int list_no, int64_t n,
                       const int64_t* ids, const uint8_t* codes,
                       const float* norms) {
   InvList& lst = idx->lists[list_no];
   size_t old = lst.ids.size();
   lst.ids.insert(lst.ids.end(), ids, ids + n);
-  lst.codes.insert(lst.codes.end(), codes, codes + n * idx->M);
+  lst.codes.insert(lst.codes.end(), codes,
+                   codes + n * idx->M * idx->code_bytes);
   lst.norms.resize(old + n);
   for (int64_t i = 0; i < n; i++) {
     float q = (norms[i] - idx->norm_min) / idx->norm_scale;
@@ -137,6 +152,7 @@ void qivf_search(const IvfIndex* idx, int64_t nq, const int* probe_lists,
                  int nthreads) {
   const int M = idx->M;
   const int K = idx->K;
+  const int CB = idx->code_bytes;
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
 #pragma omp parallel for schedule(dynamic, 1)
@@ -152,9 +168,9 @@ void qivf_search(const IvfIndex* idx, int64_t nq, const int* probe_lists,
       const size_t n = lst.ids.size();
       const uint8_t* codes = lst.codes.data();
       for (size_t i = 0; i < n; i++) {
-        const uint8_t* c = codes + i * M;
+        const uint8_t* c = codes + i * M * CB;
         float d = b + decode_norm(idx, lst.norms[i]);
-        for (int m = 0; m < M; m++) d += lut[m * K + c[m]];
+        for (int m = 0; m < M; m++) d += lut[m * K + code_at(c, m, CB)];
         if ((int)heap.size() < nshort) {
           heap.push({d, lst.ids[i], list_no, c});
         } else if (d < heap.top().dist) {
@@ -171,7 +187,7 @@ void qivf_search(const IvfIndex* idx, int64_t nq, const int* probe_lists,
       out_dists[q * nshort + r] = e.dist;
       int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
       oc[0] = e.list_no;
-      for (int m = 0; m < M; m++) oc[m + 1] = e.code[m];
+      for (int m = 0; m < M; m++) oc[m + 1] = code_at(e.code, m, CB);
       heap.pop();
     }
     for (int r = n_found; r < nshort; r++) {
@@ -203,6 +219,7 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
                        int nthreads) {
   const int M = idx->M;
   const int K = idx->K;
+  const int CB = idx->code_bytes;
   const int64_t MK = (int64_t)M * K;
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
@@ -231,9 +248,9 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
           float* lut = lut_buf.data();
           for (int64_t t = 0; t < MK; t++) lut[t] = qt[t] + ct[t];
           for (size_t i = 0; i < n; i++) {
-            const uint8_t* c = codes + i * M;
+            const uint8_t* c = codes + i * M * CB;
             float d = b + decode_norm(idx, lst.norms[i]);
-            for (int m = 0; m < M; m++) d += lut[m * K + c[m]];
+            for (int m = 0; m < M; m++) d += lut[m * K + code_at(c, m, CB)];
             if ((int)heap.size() < nshort) {
               heap.push({d, lst.ids[i], list_no, c});
             } else if (d < heap.top().dist) {
@@ -244,10 +261,10 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
         } else {
           // Short list: two lookups per code beat an M*K combine.
           for (size_t i = 0; i < n; i++) {
-            const uint8_t* c = codes + i * M;
+            const uint8_t* c = codes + i * M * CB;
             float d = b + decode_norm(idx, lst.norms[i]);
             for (int m = 0; m < M; m++) {
-              const int o = m * K + c[m];
+              const int o = m * K + code_at(c, m, CB);
               d += qt[o] + ct[o];
             }
             if ((int)heap.size() < nshort) {
@@ -266,7 +283,7 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
         out_dists[q * nshort + r] = e.dist;
         int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
         oc[0] = e.list_no;
-        for (int m = 0; m < M; m++) oc[m + 1] = e.code[m];
+        for (int m = 0; m < M; m++) oc[m + 1] = code_at(e.code, m, CB);
         heap.pop();
       }
       for (int r = n_found; r < nshort; r++) {
@@ -275,6 +292,69 @@ void qivf_search_split(const IvfIndex* idx, int64_t nq, const int* probe_lists,
         int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
         for (int m = 0; m <= M; m++) oc[m] = 0;
       }
+    }
+  }
+}
+
+// Query-only-LUT scan for full-reconstruction-norm indexes (the paired
+// K² layout, where a per-(query, probe) or per-centroid LUT is
+// intractable: cterm alone is nlist * M * K² * 4 bytes).  Exact
+// decomposition with y = c_list + sum_m C_m[code_m]:
+//
+//   ||q - y||^2 = (||q||^2 - 2 q.c_list)  [bias, per (q, p)]
+//               + sum_m qlut[m][code_m]   [qlut[m][k] = -2 q.C_m[k]]
+//               + ||y||^2                 [stored int8-quantized norm]
+//
+// qlut is (nq, M, K): nprobe-independent, 2 MB/query at M=8, K=65536.
+void qivf_search_qlut(const IvfIndex* idx, int64_t nq, const int* probe_lists,
+                      const float* qlut, const float* bias, int nprobe,
+                      int nshort, int64_t* out_ids, int* out_codes,
+                      float* out_dists, int nthreads) {
+  const int M = idx->M;
+  const int K = idx->K;
+  const int CB = idx->code_bytes;
+  const int64_t MK = (int64_t)M * K;
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int64_t q = 0; q < nq; q++) {
+    std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+    const float* qt = qlut + q * MK;
+    for (int p = 0; p < nprobe; p++) {
+      int list_no = probe_lists[q * nprobe + p];
+      if (list_no < 0 || list_no >= idx->nlist) continue;
+      const InvList& lst = idx->lists[list_no];
+      const float b = bias[q * nprobe + p];
+      const size_t n = lst.ids.size();
+      const uint8_t* codes = lst.codes.data();
+      for (size_t i = 0; i < n; i++) {
+        const uint8_t* c = codes + i * M * CB;
+        float d = b + decode_norm(idx, lst.norms[i]);
+        for (int m = 0; m < M; m++) d += qt[m * K + code_at(c, m, CB)];
+        if ((int)heap.size() < nshort) {
+          heap.push({d, lst.ids[i], list_no, c});
+        } else if (d < heap.top().dist) {
+          heap.pop();
+          heap.push({d, lst.ids[i], list_no, c});
+        }
+      }
+    }
+    int n_found = (int)heap.size();
+    for (int r = n_found - 1; r >= 0; r--) {
+      const HeapEntry& e = heap.top();
+      out_ids[q * nshort + r] = e.id;
+      out_dists[q * nshort + r] = e.dist;
+      int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+      oc[0] = e.list_no;
+      for (int m = 0; m < M; m++) oc[m + 1] = code_at(e.code, m, CB);
+      heap.pop();
+    }
+    for (int r = n_found; r < nshort; r++) {
+      out_ids[q * nshort + r] = -1;
+      out_dists[q * nshort + r] = HUGE_VALF;
+      int* oc = out_codes + (q * (int64_t)nshort + r) * (M + 1);
+      for (int m = 0; m <= M; m++) oc[m] = 0;
     }
   }
 }
@@ -403,13 +483,14 @@ static const uint32_t QIVF_MAGIC = 0x51495646;  // "QIVF"
 int qivf_save(const IvfIndex* idx, const char* path) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
-  uint32_t magic = QIVF_MAGIC, version = 2;
+  uint32_t magic = QIVF_MAGIC, version = 3;
   fwrite(&magic, 4, 1, f);
   fwrite(&version, 4, 1, f);
   fwrite(&idx->nlist, 4, 1, f);
   fwrite(&idx->M, 4, 1, f);
   fwrite(&idx->K, 4, 1, f);
   fwrite(&idx->D, 4, 1, f);
+  fwrite(&idx->code_bytes, 4, 1, f);
   fwrite(&idx->norm_min, 4, 1, f);
   fwrite(&idx->norm_scale, 4, 1, f);
   fwrite(&idx->ntotal, 8, 1, f);
@@ -418,7 +499,7 @@ int qivf_save(const IvfIndex* idx, const char* path) {
     fwrite(&n, 8, 1, f);
     if (n) {
       fwrite(lst.ids.data(), 8, n, f);
-      fwrite(lst.codes.data(), 1, n * idx->M, f);
+      fwrite(lst.codes.data(), 1, n * idx->M * idx->code_bytes, f);
       fwrite(lst.norms.data(), 1, n, f);
     }
   }
@@ -438,21 +519,24 @@ IvfIndex* qivf_load(const char* path) {
   auto* idx = new IvfIndex();
   bool ok = fread(&idx->nlist, 4, 1, f) == 1 && fread(&idx->M, 4, 1, f) == 1 &&
             fread(&idx->K, 4, 1, f) == 1 &&
-            fread(&idx->D, 4, 1, f) == 1 &&
-            fread(&idx->norm_min, 4, 1, f) == 1 &&
-            fread(&idx->norm_scale, 4, 1, f) == 1 &&
-            fread(&idx->ntotal, 8, 1, f) == 1;
+            fread(&idx->D, 4, 1, f) == 1;
+  if (ok && version >= 3) ok = fread(&idx->code_bytes, 4, 1, f) == 1;
+  if (version < 3) idx->code_bytes = 1;
+  ok = ok && fread(&idx->norm_min, 4, 1, f) == 1 &&
+       fread(&idx->norm_scale, 4, 1, f) == 1 &&
+       fread(&idx->ntotal, 8, 1, f) == 1;
   if (!ok) { delete idx; fclose(f); return nullptr; }
   idx->lists.resize(idx->nlist);
+  const int64_t row = (int64_t)idx->M * idx->code_bytes;
   for (auto& lst : idx->lists) {
     int64_t n = 0;
     if (fread(&n, 8, 1, f) != 1) { delete idx; fclose(f); return nullptr; }
     lst.ids.resize(n);
-    lst.codes.resize(n * idx->M);
+    lst.codes.resize(n * row);
     lst.norms.resize(n);
     if (n) {
       ok = fread(lst.ids.data(), 8, n, f) == (size_t)n &&
-           fread(lst.codes.data(), 1, n * idx->M, f) == (size_t)(n * idx->M) &&
+           fread(lst.codes.data(), 1, n * row, f) == (size_t)(n * row) &&
            fread(lst.norms.data(), 1, n, f) == (size_t)n;
       if (!ok) { delete idx; fclose(f); return nullptr; }
     }

@@ -77,6 +77,59 @@ def compute_fixed_aq_codebooks(
     return sol.reshape(M, k, -1).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _segment_fit(target: jnp.ndarray, codes_m: jnp.ndarray, k: int):
+    """(sums (k, D), counts (k,)) of target rows grouped by code."""
+    sums = jax.ops.segment_sum(target, codes_m, num_segments=k)
+    counts = jax.ops.segment_sum(
+        jnp.ones((target.shape[0],), jnp.float32), codes_m, num_segments=k
+    )
+    return sums, counts
+
+
+def compute_fixed_aq_codebooks_backfit(
+    xt: np.ndarray, train_codes: np.ndarray, k: int, *, sweeps: int = 4,
+    shrinkage: float = 8.0, batch: int = 262144,
+) -> np.ndarray:
+    """Backfitting (cyclic coordinate-descent) estimate of fixed additive
+    codebooks — the large-K path the joint normal equations can't reach.
+
+    At the paired-code scale (K² = 65536, M/2 books) the reference's
+    lstsq formulation needs an (M·K²)² system — hundreds of GB — which
+    is why the reference ships pair_codes hardcoded off
+    (reference: search_tasks.py:641, 145-151).  Backfitting needs only
+    per-code segment-sums: each pass refits book m to the conditional
+    mean of (residual + its own contribution), shrunk by a pseudo-count
+    for sparse bins (65536 bins over 1M rows ≈ 15 samples each), and
+    converges like Gauss-Seidel on the same normal equations.
+    """
+    xt = np.asarray(xt, np.float32)
+    train_codes = np.asarray(train_codes, np.int64)
+    nt, M = train_codes.shape
+    D = xt.shape[1]
+    books = np.zeros((M, k, D), np.float32)
+    resid = xt.copy()
+
+    for sweep in range(sweeps):
+        for m in range(M):
+            cm = train_codes[:, m]
+            # target = resid + current contribution of book m
+            sums = np.zeros((k, D), np.float64)
+            counts = np.zeros((k,), np.float64)
+            for i in range(0, nt, batch):
+                tgt = resid[i:i + batch] + books[m][cm[i:i + batch]]
+                s, c = _segment_fit(
+                    jnp.asarray(tgt), jnp.asarray(cm[i:i + batch]), k)
+                sums += np.asarray(s, np.float64)
+                counts += np.asarray(c, np.float64)
+            new_book = (sums / (counts + shrinkage)[:, None]).astype(np.float32)
+            for i in range(0, nt, batch):
+                sl = slice(i, i + batch)
+                resid[sl] += books[m][cm[sl]] - new_book[cm[sl]]
+            books[m] = new_book
+    return books
+
+
 def reconstruct_from_codebooks(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Additive reconstruction Σ_m C_m[code_m]
     (reference: search_utils.py:105-115)."""

@@ -31,7 +31,8 @@ def _ensure_lib() -> ctypes.CDLL:
     lib.qivf_new.restype = c.c_void_p
     lib.qivf_new.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int]
     lib.qivf_free.argtypes = [c.c_void_p]
-    for fn in ("qivf_nlist", "qivf_code_m", "qivf_code_k", "qivf_dim"):
+    for fn in ("qivf_nlist", "qivf_code_m", "qivf_code_k", "qivf_dim",
+               "qivf_code_bytes"):
         getattr(lib, fn).restype = c.c_int
         getattr(lib, fn).argtypes = [c.c_void_p]
     lib.qivf_ntotal.restype = c.c_int64
@@ -55,6 +56,13 @@ def _ensure_lib() -> ctypes.CDLL:
         c.c_void_p, c.c_int64,
         c.POINTER(c.c_int), c.POINTER(c.c_float), c.POINTER(c.c_float),
         c.POINTER(c.c_float),
+        c.c_int, c.c_int,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
+        c.c_int,
+    ]
+    lib.qivf_search_qlut.argtypes = [
+        c.c_void_p, c.c_int64,
+        c.POINTER(c.c_int), c.POINTER(c.c_float), c.POINTER(c.c_float),
         c.c_int, c.c_int,
         c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_float),
         c.c_int,
@@ -163,17 +171,28 @@ class IvfIndex:
     ``use_hnsw()`` switches to the native HNSW graph (efSearch knob).
     """
 
-    def __init__(self, handle, ivf_centroids: np.ndarray, codebooks: np.ndarray):
+    def __init__(self, handle, ivf_centroids: np.ndarray, codebooks: np.ndarray,
+                 norm_mode: str = "resid"):
         self._lib = get_lib()
         self._h = ctypes.c_void_p(handle)
         self.ivf_centroids = np.ascontiguousarray(ivf_centroids, np.float32)
         self.codebooks = np.ascontiguousarray(codebooks, np.float32)  # (M,K,D)
+        # norm_mode: which squared norm the int8 quantizer stores.
+        #  "resid": ||r||² of the AQ reconstruction; scan uses per-(q,p)
+        #           LUTs -2(q-c).C (or their split decomposition).
+        #  "full":  ||c+r||² of centroid + reconstruction; scan uses the
+        #           query-only LUT -2q.C — the only tractable layout for
+        #           paired K² codes, where per-centroid tables would be
+        #           nlist*M*K²*4 bytes.
+        assert norm_mode in ("resid", "full"), norm_mode
+        self.norm_mode = norm_mode
         self.hnsw: HnswQuantizer | None = None
         self.ef_search = 16
         # Split-LUT scan state (enable_split_lut): cterm (nlist, M, K) f32
         # and the flattened (M*K, D) codebook used for qterm matmuls.
         self._cterm: np.ndarray | None = None
         self._cb2d: np.ndarray | None = None
+        self._cent_norms: np.ndarray | None = None  # full-mode bias term
 
     def use_hnsw(self, *, M: int = 32, ef_construction: int = 20,
                  ef_search: int = 16, seed: int = 0) -> None:
@@ -185,13 +204,15 @@ class IvfIndex:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def build(cls, ivf_centroids: np.ndarray, codebooks: np.ndarray) -> "IvfIndex":
+    def build(cls, ivf_centroids: np.ndarray, codebooks: np.ndarray,
+              norm_mode: str = "resid") -> "IvfIndex":
         lib = get_lib()
         nlist, D = ivf_centroids.shape
         M, K, D2 = codebooks.shape
-        assert D2 == D and K <= 256, f"codebooks {codebooks.shape} vs D={D}"
+        assert D2 == D and K <= 65536, f"codebooks {codebooks.shape} vs D={D}"
         h = lib.qivf_new(nlist, M, K, D)
-        return cls(h, ivf_centroids, codebooks)
+        assert h, f"qivf_new rejected K={K}"
+        return cls(h, ivf_centroids, codebooks, norm_mode=norm_mode)
 
     def __del__(self):
         try:
@@ -222,16 +243,22 @@ class IvfIndex:
         norms = np.ascontiguousarray(norms, np.float32)
         self._lib.qivf_train_norm(self._h, _ptr(norms, ctypes.c_float), len(norms))
 
+    @property
+    def code_bytes(self) -> int:
+        return self._lib.qivf_code_bytes(self._h)
+
     def add_entries(self, list_no: int, ids, codes, norms) -> None:
-        """codes: (n, M) uint8-able; norms: (n,) reconstruction sq-norms."""
+        """codes: (n, M) ints < K; norms: (n,) sq-norms (see norm_mode)."""
         ids = np.ascontiguousarray(ids, np.int64)
-        codes = np.ascontiguousarray(codes, np.uint8)
+        dtype = np.uint8 if self.code_bytes == 1 else np.uint16
+        codes = np.ascontiguousarray(codes, dtype)
         norms = np.ascontiguousarray(norms, np.float32)
         n = len(ids)
         assert codes.shape == (n, self.M)
         self._lib.qivf_add_entries(
             self._h, list_no, n,
-            _ptr(ids, ctypes.c_int64), _ptr(codes, ctypes.c_uint8),
+            _ptr(ids, ctypes.c_int64),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             _ptr(norms, ctypes.c_float),
         )
 
@@ -270,6 +297,10 @@ class IvfIndex:
         """
         nlist = self.nlist
         M, K, D = self.codebooks.shape
+        if self.norm_mode == "full":
+            # full-norm indexes already scan with the cheaper query-only
+            # LUT; there is no centroid term to precompute
+            return False
         if nlist * M * K * 4 > max_bytes:
             return False
         self._cb2d = np.ascontiguousarray(
@@ -301,6 +332,34 @@ class IvfIndex:
             self._h, nq,
             _ptr(probe_lists, ctypes.c_int), _ptr(qterm, ctypes.c_float),
             _ptr(self._cterm, ctypes.c_float),
+            _ptr(bias, ctypes.c_float), nprobe, nshort,
+            _ptr(out_ids, ctypes.c_int64), _ptr(out_codes, ctypes.c_int),
+            _ptr(out_dists, ctypes.c_float), nthreads,
+        )
+        return out_ids, out_codes, out_dists
+
+    def scan_qlut(
+        self,
+        probe_lists: np.ndarray,  # (nq, nprobe) int32
+        qlut: np.ndarray,  # (nq, M, K) f32 = -2 q.C
+        bias: np.ndarray,  # (nq, nprobe) f32 = ||q||² - 2 q.c_p
+        nshort: int,
+        nthreads: int = 0,
+    ):
+        """Query-only-LUT scan for norm_mode='full' indexes (paired K²
+        codes).  Distances are exact ||q - y||² up to the int8 norm
+        quantization, like the other scans."""
+        assert self.norm_mode == "full", "qlut scan needs full-recon norms"
+        nq, nprobe = probe_lists.shape
+        probe_lists = np.ascontiguousarray(probe_lists, np.int32)
+        qlut = np.ascontiguousarray(qlut, np.float32)
+        bias = np.ascontiguousarray(bias, np.float32)
+        out_ids = np.empty((nq, nshort), np.int64)
+        out_codes = np.empty((nq, nshort, self.M + 1), np.int32)
+        out_dists = np.empty((nq, nshort), np.float32)
+        self._lib.qivf_search_qlut(
+            self._h, nq,
+            _ptr(probe_lists, ctypes.c_int), _ptr(qlut, ctypes.c_float),
             _ptr(bias, ctypes.c_float), nprobe, nshort,
             _ptr(out_ids, ctypes.c_int64), _ptr(out_codes, ctypes.c_int),
             _ptr(out_dists, ctypes.c_float), nthreads,
@@ -353,7 +412,29 @@ class IvfIndex:
                 )
             else:
                 probes, bias = coarse_probe(chunk, self.ivf_centroids, nprobe)
-            if self._cterm is not None:
+            if self.norm_mode == "full":
+                M, K, D = self.codebooks.shape
+                if self._cb2d is None:
+                    self._cb2d = np.ascontiguousarray(
+                        self.codebooks.reshape(M * K, D), np.float32)
+                    self._cent_norms = (
+                        self.ivf_centroids.astype(np.float64) ** 2
+                    ).sum(-1).astype(np.float32)
+                # bias = ||q||² - 2 q.c  =  ||q - c||² - ||c||²
+                bias_f = bias - self._cent_norms[probes]
+                # qlut is (nq_sub, M, K) f32 — 2 MB/query at M=8, K=2^16;
+                # sub-batch so the buffer stays under ~256 MB
+                qb = max(64, (256 << 20) // (M * K * 4))
+                subs = []
+                for j in range(0, len(chunk), qb):
+                    qlut = (-2.0 * (chunk[j:j + qb] @ self._cb2d.T)).reshape(
+                        -1, M, K)
+                    subs.append(self.scan_qlut(
+                        probes[j:j + qb], qlut, bias_f[j:j + qb], nshort,
+                        nthreads))
+                out.append(tuple(
+                    np.concatenate([s[t] for s in subs]) for t in range(3)))
+            elif self._cterm is not None:
                 M, K, _ = self.codebooks.shape
                 qterm = (-2.0 * (chunk @ self._cb2d.T)).reshape(-1, M, K)
                 out.append(
@@ -377,6 +458,7 @@ class IvfIndex:
             str(path) + ".meta.npz",
             ivf_centroids=self.ivf_centroids,
             codebooks=self.codebooks,
+            norm_mode=np.asarray(self.norm_mode),
         )
 
     @classmethod
@@ -385,7 +467,10 @@ class IvfIndex:
         h = lib.qivf_load(str(path).encode())
         assert h, f"failed to load index from {path}"
         meta = np.load(str(path) + ".meta.npz")
-        return cls(h, meta["ivf_centroids"], meta["codebooks"])
+        norm_mode = (str(meta["norm_mode"]) if "norm_mode" in meta.files
+                     else "resid")
+        return cls(h, meta["ivf_centroids"], meta["codebooks"],
+                   norm_mode=norm_mode)
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..metrics import corrected_mse
-from ..ops.aq import compute_fixed_aq_codebooks, reconstruct_from_codebooks
+from ..ops.aq import (
+    compute_fixed_aq_codebooks,
+    compute_fixed_aq_codebooks_backfit,
+    reconstruct_from_codebooks,
+)
 from ..utils import Timer
 from .index import IvfIndex
 
@@ -50,38 +54,57 @@ def build_index_training_phase(
     timer = Timer()
     K = cfg.K
     if cfg.search.pair_codes:
-        # K -> K² combined codes.  The native lists store 1-byte codes,
-        # so K² must fit uint8 (the reference's faiss path would pack
-        # 16-bit codes, but its dense-lstsq AQ fit is equally intractable
-        # at K=256: a 1M × 131k design matrix).
-        assert K * K <= 256, (
-            f"pair_codes requires K² <= 256 (got K={K}); use K <= 16"
+        # K -> K² combined codes (reference formulation:
+        # search_tasks.py:145-151, shipped hardcoded off at :641).
+        # K² <= 256 stores 1-byte codes like any index; K² <= 65536
+        # (the reference's K=256 setting) stores 2-byte codes and scans
+        # with the query-only LUT (norm_mode="full" — see IvfIndex).
+        assert K * K <= 65536, (
+            f"pair_codes requires K² <= 65536 (got K={K}); use K <= 256"
         )
         log(f"[{timer}] Pairing training codes: K {K} -> {K * K}")
         K = K * K
         encoded_data = pair_codes_ivf(encoded_data, cfg.K)
+    norm_mode = "full" if K > 256 else "resid"
     with timer:
         assert vec_data.dtype == np.float32
         max_nt = min(len(vec_data), cfg.search.aq_training_samples)
         log(f"[{timer}] Computing residuals on {max_nt}/{len(vec_data)} rows")
         xt_residuals = vec_data - ivf_centroids[encoded_data[:, 0]]
 
-        log(f"[{timer}] Training fixed AQ codebooks")
-        codebooks = compute_fixed_aq_codebooks(
-            xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K
-        )
+        M_codes = encoded_data.shape[1] - 1
+        if M_codes * K > 16384:
+            # the (M·K)² normal equations stop fitting in memory; the
+            # backfitting fit converges to the same solution family
+            log(f"[{timer}] Training fixed AQ codebooks (backfit, "
+                f"{M_codes}x{K})")
+            codebooks = compute_fixed_aq_codebooks_backfit(
+                xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K
+            )
+        else:
+            log(f"[{timer}] Training fixed AQ codebooks")
+            codebooks = compute_fixed_aq_codebooks(
+                xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K
+            )
         log(f"[{timer}] Codebooks {codebooks.shape}")
 
         xt_recons = reconstruct_from_codebooks(encoded_data[:, 1:], codebooks)
         mse = corrected_mse(xt_recons, xt_residuals, cfg.mse_scale)
         log(f"[{timer}] AQ train MSE: {mse:g}")
 
-        index = IvfIndex.build(ivf_centroids, codebooks)
+        index = IvfIndex.build(ivf_centroids, codebooks, norm_mode=norm_mode)
         # Norm quantizer trained on reconstruction norms
         # (reference: search_tasks.py:195,219 + add-phase norms :258).
-        norms = (xt_recons**2).sum(-1)
+        # norm_mode="full" stores ||c + r||² (centroid included) so the
+        # scan's LUT can be query-only.
+        if norm_mode == "full":
+            norms = ((xt_recons + ivf_centroids[encoded_data[:, 0]]) ** 2
+                     ).sum(-1)
+        else:
+            norms = (xt_recons**2).sum(-1)
         index.train_norm(norms)
-        log(f"[{timer}] Index ready (nlist={index.nlist}, M={index.M})")
+        log(f"[{timer}] Index ready (nlist={index.nlist}, M={index.M}, "
+            f"norm_mode={norm_mode})")
     return index
 
 
@@ -96,6 +119,8 @@ def build_index_adding_phase(cfg, encoded_db, index: IvfIndex, log=print) -> Non
                 batch = pair_codes_ivf(batch, cfg.K)
             assert batch.shape[1] == index.M + 1
             recons = reconstruct_from_codebooks(batch[:, 1:], codebooks)
+            if index.norm_mode == "full":
+                recons = recons + index.ivf_centroids[batch[:, 0]]
             norms = (recons**2).sum(-1)
             ids = np.arange(
                 encoded_db.batch_start_id, encoded_db.batch_end_id, dtype=np.int64

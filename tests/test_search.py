@@ -35,6 +35,118 @@ def test_aq_fit_reduces_error_vs_means():
     assert ((rec - x) ** 2).mean() < base * 0.6
 
 
+def test_aq_backfit_matches_normal_equations():
+    """The large-K backfitting fit must converge to (nearly) the same
+    reconstruction error as the joint normal equations on a small
+    problem where both run."""
+    from qinco_tpu.ops.aq import compute_fixed_aq_codebooks_backfit
+
+    rng = np.random.default_rng(2)
+    M, k, D, n = 3, 16, 8, 6000
+    codes = rng.integers(0, k, size=(n, M))
+    x = 0.3 * rng.normal(size=(n, D)).astype(np.float32)
+    x += reconstruct_from_codebooks(
+        codes, rng.normal(size=(M, k, D)).astype(np.float32))
+
+    exact = compute_fixed_aq_codebooks(x, codes, k)
+    err_exact = ((reconstruct_from_codebooks(codes, exact) - x) ** 2).mean()
+    bf = compute_fixed_aq_codebooks_backfit(
+        x, codes, k, sweeps=6, shrinkage=1e-6)
+    err_bf = ((reconstruct_from_codebooks(codes, bf) - x) ** 2).mean()
+    assert err_bf <= err_exact * 1.05, (err_bf, err_exact)
+
+
+def test_qlut_scan_2byte_codes_full_norms(tmp_path):
+    """Paired-K² layout: 2-byte code storage + the query-only-LUT scan
+    with full-reconstruction norms must return exact distances (up to
+    the int8 norm quantization) and survive save/load.
+    K = 1024 > 256 forces code_bytes=2 (the K=256 pair-codes regime)."""
+    from qinco_tpu.search.index import IvfIndex
+
+    rng = np.random.default_rng(3)
+    nlist, D, M, K = 32, 16, 2, 1024
+    centroids = rng.normal(size=(nlist, D)).astype(np.float32) * 4
+    books = rng.normal(size=(M, K, D)).astype(np.float32) * 0.5
+
+    n = 4000
+    list_nos = rng.integers(0, nlist, size=n)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.int64)
+    recons = books[0][codes[:, 0]] + books[1][codes[:, 1]]
+    vectors = centroids[list_nos] + recons
+
+    index = IvfIndex.build(centroids, books, norm_mode="full")
+    assert index.code_bytes == 2
+    norms = (vectors**2).sum(-1)  # full-recon norms: ||c + r||²
+    index.train_norm(norms)
+    index.add_batch(np.arange(n, dtype=np.int64), list_nos, codes, norms)
+
+    xq = (vectors[:24] + 0.01 * rng.normal(size=(24, D))).astype(np.float32)
+    dists, ids, out_codes = index.search_and_return_codes(
+        xq, 8, nprobe=nlist)
+    assert (ids[:, 0] == np.arange(24)).mean() > 0.9
+    for q in range(24):
+        j = ids[q, 0]
+        if j < 0:
+            continue
+        assert out_codes[q, 0, 0] == list_nos[j]
+        np.testing.assert_array_equal(out_codes[q, 0, 1:], codes[j])
+    true_d = ((xq[0] - vectors[ids[0, :5]]) ** 2).sum(-1)
+    np.testing.assert_allclose(dists[0, :5], true_d, rtol=0.1, atol=2.0)
+
+    # save/load keeps code width + norm mode
+    path = tmp_path / "paired.qivf"
+    index.save(path)
+    index2 = IvfIndex.load(path)
+    assert index2.code_bytes == 2 and index2.norm_mode == "full"
+    d2, i2, c2 = index2.search_and_return_codes(xq, 8, nprobe=nlist)
+    np.testing.assert_array_equal(ids, i2)
+    np.testing.assert_allclose(dists, d2, rtol=1e-5)
+
+
+def test_build_index_pair_codes_k_gt_16():
+    """build_index_training_phase at the reference's K=256-style regime
+    (here K=32 -> K²=1024 for speed): must pick the backfit AQ fit,
+    full-reconstruction norms, and 2-byte code storage, and the scan
+    must retrieve the encoded vectors (reference formulation:
+    search_tasks.py:145-151, shipped hardcoded off at :641)."""
+    from qinco_tpu.config import load_config
+    from qinco_tpu.search.index_build import (
+        build_index_training_phase, pair_codes_ivf)
+
+    rng = np.random.default_rng(4)
+    nlist, D, M, K, n = 16, 8, 4, 32, 20000
+    cfg = load_config(["K=32", "M=4", "search.pair_codes=true",
+                       "search.aq_training_samples=20000"])
+    centroids = rng.normal(size=(nlist, D)).astype(np.float32) * 4
+    # synthetic encoded data: [ivf_code, code_0..code_{M-1}]
+    encoded = np.concatenate(
+        [rng.integers(0, nlist, size=(n, 1)),
+         rng.integers(0, K, size=(n, M))], axis=1).astype(np.int64)
+    true_books = rng.normal(size=(M, K, D)).astype(np.float32)
+    resid = np.zeros((n, D), np.float32)
+    for m in range(M):
+        resid += true_books[m][encoded[:, m + 1]]
+    vecs = centroids[encoded[:, 0]] + resid
+
+    index = build_index_training_phase(
+        cfg, centroids, vecs, encoded, log=lambda *a: None)
+    assert index.norm_mode == "full" and index.code_bytes == 2
+    assert index.K == K * K and index.M == M // 2
+
+    paired = pair_codes_ivf(encoded, K)
+    recons = reconstruct_from_codebooks(paired[:, 1:], index.codebooks)
+    full = recons + centroids[encoded[:, 0]]
+    norms = (full**2).sum(-1)
+    index.add_batch(np.arange(n, dtype=np.int64), encoded[:, 0],
+                    paired[:, 1:], norms)
+
+    xq = vecs[:32]
+    dists, ids, codes = index.search_and_return_codes(xq, 4, nprobe=nlist)
+    # the paired AQ approximation is lossy (backfit + shrinkage on
+    # ~20 rows/bin) but self-retrieval must still dominate
+    assert (ids[:, 0] == np.arange(32)).mean() > 0.8, ids[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # native IVF index
 # ---------------------------------------------------------------------------
