@@ -82,8 +82,8 @@ def main():
 
     rng = np.random.default_rng(0)
     x_np = rng.normal(size=(args.batch, spec.D)).astype(np.float32)
-    xt_np = rng.normal(size=(1, args.batch, spec.D)).astype(np.float32)
-    wt_np = np.ones((1, args.batch), np.float32)
+    xt_np = rng.normal(size=(args.batch, spec.D)).astype(np.float32)
+    wt_np = np.ones((args.batch,), np.float32)
 
     for n in (1, 2, 4, 8):
         mesh = make_mesh(data=n, model=1, devices=devices[:n])
@@ -103,15 +103,19 @@ def main():
         tx = build_optimizer(cfg, jax.device_get(params), spec)
         opt_state = replicate(mesh, tx.init(jax.device_get(params)))
         step = make_train_step(spec, tx, grad_clip=0.1, accum=1)
-        xt = shard_stacked_batch(mesh, xt_np)
-        wt = shard_stacked_batch(mesh, wt_np)
+        xt = shard_batch(mesh, xt_np)
+        wt = shard_batch(mesh, wt_np)
 
-        def tr(params, opt_state, mstate, xt, wt):
-            p, o, m, out = step(params, opt_state, mstate, xt, wt)
+        # the train step donates params/opt_state: re-thread the returned
+        # state into the next call instead of reusing dead buffers
+        state = [params, opt_state, mstate]
+
+        def tr():
+            p, o, m, out = step(state[0], state[1], state[2], xt, wt)
             jax.block_until_ready(out.total_loss)
-            return p, o, m
+            state[0], state[1], state[2] = p, o, m
 
-        dt = time_fn(tr, params, opt_state, mstate, xt, wt, reps=args.reps)
+        dt = time_fn(tr, reps=args.reps)
         report["train_step"][str(n)] = round(dt * 1e3, 1)
         print(json.dumps({"n": n, "encode_ms": report["encode"][str(n)],
                           "train_ms": report["train_step"][str(n)]}),
