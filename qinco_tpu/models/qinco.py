@@ -555,6 +555,22 @@ def default_encode_batch(spec: QincoSpec, enc_max_bs: int = 65536) -> int:
     return max(1, enc_max_bs // (spec.B * (spec.A or 1)))
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _encode_raw_scan(params, spec, xs):
+    """Scan encode_raw over stacked chunks ``xs (G, bs, D)`` in ONE
+    dispatch -> codes (G, M_ivf, bs).  On the remote-TPU transport each
+    dispatch costs tens of ms of round-trip latency; at the billion-scale
+    encode's chunk sizes that overhead dominated device time (measured
+    17k vec/s task throughput vs 62k kernel throughput on the 10M run),
+    so chunks are grouped G at a time."""
+
+    def body(_, x):
+        return None, encode_raw(params, spec, x)
+
+    _, codes = jax.lax.scan(body, None, xs)
+    return codes
+
+
 def encode_chunked(
     params: QincoParams,
     spec: QincoSpec,
@@ -563,15 +579,19 @@ def encode_chunked(
     batch: int | None = None,
     enc_max_bs: int = 65536,
     pipeline_depth: int = 4,
+    group: int = 8,
     mesh=None,
 ):
     """Host-side driver: encode any-length ``x`` in fixed-shape chunks
     (one compiled shape), zero-padding the tail.  Returns codes (M_ivf, N).
 
-    Dispatch is pipelined ``pipeline_depth`` chunks ahead so host<->device
+    Dispatch is pipelined ``pipeline_depth`` groups ahead so host<->device
     transfers overlap device compute (synchronous per-chunk readback
-    serialized the billion-scale encode on remote transports).
-    ``mesh`` routes step 0 through the sharded-IVF path (see encode_raw).
+    serialized the billion-scale encode on remote transports), and chunks
+    are grouped ``group`` at a time into one scan dispatch to amortize
+    per-dispatch transport latency.  ``mesh`` routes step 0 through the
+    sharded-IVF path (see encode_raw) and disables grouping (shard_map
+    under scan is not exercised by the sharded-ops tests).
     """
     import collections
 
@@ -579,23 +599,46 @@ def encode_chunked(
 
     n = len(x)
     bs = batch or default_encode_batch(spec, enc_max_bs)
+    group = 1 if mesh is not None else max(1, group)
     out = np.empty((spec.M_ivf, n), dtype=np.int32)
 
     in_flight: collections.deque = collections.deque()
 
     def drain_one():
-        i, n_valid, codes = in_flight.popleft()
-        out[:, i : i + n_valid] = np.asarray(codes)[:, :n_valid]
+        slots, codes = in_flight.popleft()
+        codes = np.asarray(codes)  # (G, M_ivf, bs) — one transfer per group
+        for j, (i, n_valid) in enumerate(slots):
+            out[:, i : i + n_valid] = codes[j][:, :n_valid]
 
-    for i in range(0, n, bs):
-        chunk = np.asarray(x[i : i + bs], dtype=np.float32)
-        n_valid = len(chunk)
-        if n_valid < bs:
+    def pad(chunk):
+        chunk = np.asarray(chunk, dtype=np.float32)
+        if len(chunk) < bs:
             chunk = np.concatenate(
-                [chunk, np.zeros((bs - n_valid, chunk.shape[1]), np.float32)]
+                [chunk, np.zeros((bs - len(chunk), chunk.shape[1]), np.float32)]
             )
-        codes = encode_raw(params, spec, jnp.asarray(chunk), mesh=mesh)
-        in_flight.append((i, n_valid, codes))
+        return chunk
+
+    starts = list(range(0, n, bs))
+    for g0 in range(0, len(starts), group):
+        g = starts[g0 : g0 + group]
+        slots = [(i, min(bs, n - i)) for i in g]
+        if len(g) == group and group > 1:
+            xs = np.stack([pad(x[i : i + bs]) for i in g])
+            codes = _encode_raw_scan(params, spec, jnp.asarray(xs))
+        elif mesh is not None:
+            # sharded path: per-chunk dispatch (no scan)
+            for i, n_valid in slots:
+                c = encode_raw(params, spec, jnp.asarray(pad(x[i : i + bs])),
+                               mesh=mesh)
+                in_flight.append(([(i, n_valid)], c[None]))
+                if len(in_flight) > pipeline_depth:
+                    drain_one()
+            continue
+        else:
+            # tail group smaller than `group`: one scan at its own shape
+            xs = np.stack([pad(x[i : i + bs]) for i in g])
+            codes = _encode_raw_scan(params, spec, jnp.asarray(xs))
+        in_flight.append((slots, codes))
         if len(in_flight) > pipeline_depth:
             drain_one()
     while in_flight:
