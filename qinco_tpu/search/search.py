@@ -12,6 +12,7 @@ inverted-list scan is the native C++ library.
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 
@@ -21,7 +22,7 @@ import numpy as np
 
 from ..metrics import compute_recalls
 from ..models.qinco import decode_raw
-from ..ops.distances import batch_sqdist_partial, pairwise_sqdist_partial
+from ..ops.distances import pairwise_sqdist_partial
 from ..utils import Timer, TimersManager
 from .operating_points import OperatingPoints
 from .optim_order import sort_experiments_by_prior
@@ -76,20 +77,45 @@ def run_search_flat(task):
 # ---------------------------------------------------------------------------
 
 
-def _decode_shortlist(params, spec, codes_int32: np.ndarray, batch_size: int):
-    """QINCo-decode (n, M+1) codes in fixed batches -> (n, D) raw space."""
-    n = len(codes_int32)
-    out = []
-    for i in range(0, n, batch_size):
-        chunk = codes_int32[i : i + batch_size]
-        n_valid = len(chunk)
-        if n_valid < batch_size:
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch_size - n_valid, chunk.shape[1]), np.int32)]
-            )
-        x = decode_raw(params, spec, jnp.asarray(chunk.T))
-        out.append(np.asarray(x)[:n_valid])
-    return np.concatenate(out)
+@functools.partial(jax.jit, static_argnames=("spec", "topk"))
+def _decode_score_topk_jit(params, spec, codes_T, xq, topk: int):
+    """Fused shortlist rerank: decode (M+1, Q*ns) codes, score against
+    the queries, return each query's top-k shortlist positions — all in
+    ONE dispatch.  Only (Q, topk) indices cross the host boundary: the
+    decode->host->device round trip of the materialized shortlist
+    (2 x nq*nshort*D*4 bytes — 420 MB at nq=4096, nshort=100) was the
+    dominant cost of every operating point on the remote transport
+    (measured t_decode 17.2s + t_rerank 9.4s of a 30.3s point)."""
+    Q, D = xq.shape
+    ns = codes_T.shape[1] // Q
+    xhat = decode_raw(params, spec, codes_T)  # (Q*ns, D)
+    d = jnp.sum((xq[:, None, :] - xhat.reshape(Q, ns, D)) ** 2, axis=-1)
+    _, idx = jax.lax.top_k(-d, topk)
+    return idx  # (Q, topk) int32 positions into each query's shortlist
+
+
+def _fused_shortlist_topk(params, spec, codes_int32, xq, topk, q_block=2048):
+    """Host driver for _decode_score_topk_jit: blocks queries so the
+    decoded (Q_block*ns, D) activations stay bounded, pads the last
+    block to the compiled shape."""
+    nq, D = xq.shape
+    ns = len(codes_int32) // nq
+    q_block = min(q_block, nq)
+    codes3 = codes_int32.reshape(nq, ns, -1)
+    out = np.empty((nq, topk), np.int32)
+    for q0 in range(0, nq, q_block):
+        cb = codes3[q0:q0 + q_block]
+        xb = xq[q0:q0 + q_block]
+        nv = len(cb)
+        if nv < q_block:  # pad to the compiled block shape
+            cb = np.concatenate([cb, np.repeat(cb[:1], q_block - nv, 0)])
+            xb = np.concatenate([xb, np.repeat(xb[:1], q_block - nv, 0)])
+        idx = _decode_score_topk_jit(
+            params, spec,
+            jnp.asarray(cb.reshape(q_block * ns, -1).T),
+            jnp.asarray(xb), topk)
+        out[q0:q0 + nv] = np.asarray(idx)[:nv]
+    return out
 
 
 def run_search_ivf(task):
@@ -194,22 +220,22 @@ def run_search_ivf(task):
                 ).reshape(nq * nshort, M + 1)
                 I = np.take_along_axis(I, idx[:, :nshort], axis=1)
 
-        # Part 4: QINCo decode of the shortlist
+        # Parts 4+5 fused: QINCo decode + exact rerank in one device
+        # program per query block — only top-k indices cross the host
+        # boundary (the reference decodes the full shortlist then
+        # reranks in two more passes, search_tasks.py:473-507; on a
+        # remote transport that ships 2 x nq*nshort*D*4 bytes per point).
+        ns = len(codes_int32) // nq
+        topk = min(100, ns)
         with exp_timers.decode:
-            shortlist = _decode_shortlist(
-                params, spec, codes_int32, cfg.search.batch_size
+            # block queries so decoded activations stay ~256 MB
+            q_block = min(nq, max(1, (1 << 19) // ns))
+            idx = _fused_shortlist_topk(
+                params, spec, codes_int32, xq, topk, q_block=q_block
             )
 
-        # Part 5: exact rerank, top-100
         with exp_timers.rerank:
-            shortlist_t = shortlist.reshape(nq, -1, d)
-            D_ref = np.asarray(
-                batch_sqdist_partial(
-                    jnp.asarray(xq[:, None, :]), jnp.asarray(shortlist_t)
-                )
-            ).reshape(nq, -1)
-            idx = np.argsort(D_ref, axis=1)
-            I_refined = np.take_along_axis(I, idx[:, :100], axis=1)
+            I_refined = np.take_along_axis(I, idx, axis=1)
 
         return compute_recalls(I_refined, gt), compute_recalls(I, gt)
 

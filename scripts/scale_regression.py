@@ -36,7 +36,8 @@ def log(*a):
     print("[scale]", *a, flush=True)
 
 
-def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int, seed=0):
+def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int,
+             seed=0, query_noise=0.35):
     """Clustered synthetic data + exact GT (TPU brute force)."""
     import jax
     import jax.numpy as jnp
@@ -67,9 +68,14 @@ def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int, seed=0):
     else:
         db = np.load(out / "db.npy", mmap_mode="r")
     if not (out / "queries.npy").exists():
+        # query_noise ~ cluster radius (0.5): queries land between
+        # centroids, so coarse recall actually depends on nprobe and the
+        # measured Pareto frontier is non-degenerate.  The original
+        # 0.05 made queries near-duplicates of DB rows — recall saturated
+        # at nprobe=2 and the frontier collapsed to 3 trivial points.
         queries = np.asarray(db[
             np.sort(rng.integers(0, db_size, size=nq))
-        ]) + 0.05 * rng.normal(size=(nq, d)).astype(np.float32)
+        ]) + query_noise * rng.normal(size=(nq, d)).astype(np.float32)
         np.save(out / "queries.npy", queries.astype(np.float32))
     else:
         queries = np.load(out / "queries.npy")
