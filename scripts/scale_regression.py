@@ -44,7 +44,12 @@ def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int,
 
     rng = np.random.default_rng(seed)
     n_centers = 8192
-    centers = (rng.normal(size=(n_centers, d)) * 3).astype(np.float32)
+    # center spread ~ cluster diameter: clusters overlap, so coarse
+    # recall genuinely climbs with nprobe and the recall/time frontier
+    # is non-degenerate.  (The original *3 spread separated clusters by
+    # ~8 cluster radii — coarse assignment was trivially correct and
+    # recall saturated at nprobe=4 for every operating point.)
+    centers = (rng.normal(size=(n_centers, d)) * 1.0).astype(np.float32)
 
     def sample(n, s, chunk=1_000_000):
         r = np.random.default_rng(s)
