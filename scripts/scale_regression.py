@@ -37,18 +37,20 @@ def log(*a):
 
 
 def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int,
-             seed=0, query_noise=0.35):
+             seed=0, query_noise=1.0):
     """Clustered synthetic data + exact GT (TPU brute force)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     n_centers = 8192
-    # center spread ~ cluster diameter: clusters overlap, so coarse
-    # recall genuinely climbs with nprobe and the recall/time frontier
-    # is non-degenerate.  (The original *3 spread separated clusters by
-    # ~8 cluster radii — coarse assignment was trivially correct and
-    # recall saturated at nprobe=4 for every operating point.)
+    # Geometry tuned with scripts/frontier_tune.py so coarse recall
+    # climbs GRADUALLY with nprobe (0.48 @ nprobe=1 -> 0.98 @ 64, the
+    # faiss-realistic regime) instead of saturating: center spread 1.0,
+    # cluster noise 1.5, query noise 1.0.  Separated clusters (the
+    # original *3 spread, noise 0.5) made coarse assignment trivially
+    # correct at nprobe=2-4 and collapsed the measured Pareto frontier
+    # to 2-4 points on the nshort axis alone.
     centers = (rng.normal(size=(n_centers, d)) * 1.0).astype(np.float32)
 
     def sample(n, s, chunk=1_000_000):
@@ -58,7 +60,7 @@ def gen_data(out: Path, db_size: int, train_size: int, nq: int, d: int,
             m = min(chunk, n - i)
             parts.append(
                 centers[r.integers(0, n_centers, size=m)]
-                + 0.5 * r.normal(size=(m, d)).astype(np.float32)
+                + 1.5 * r.normal(size=(m, d)).astype(np.float32)
             )
         return np.concatenate(parts).astype(np.float32)
 
