@@ -48,12 +48,116 @@ def _log_distance(a: dict, b: dict) -> float:
 
 
 def sort_experiments_by_prior(op, keys: list[tuple]) -> list[tuple]:
-    """Order grid keys by distance to the nearest prior point
-    (reference: sort_experiments_pareto_front, search_tasks.py:285-303)."""
+    """Order grid keys for exploration: by distance to the nearest prior
+    point (reference: sort_experiments_pareto_front,
+    search_tasks.py:285-303), round-robined across (nshort, nmid_short)
+    strata.
+
+    The stratification is a workload-robustness fix the raw distance
+    ordering lacks: which axis binds recall is workload-dependent (the
+    reference's 1B/8-byte setup is shortlist-limited, so its table —
+    and hence the generated prior — prefers balanced nprobe~nshort; a
+    10M/easier-codes setup is coarse-limited and its frontier lives at
+    minimal nshort).  Visiting each stratum early, at its most
+    prior-plausible nprobe, covers both regimes in the first ~|strata|
+    experiments.  Used as the SEED schedule for AdaptiveExplorer."""
     scored = []
     for i, key in enumerate(keys):
         params = op.get_parameters(key)
         min_dist = min(_log_distance(p, params) for p in PARETO_PRIOR)
-        scored.append((min_dist, i, key))
-    scored.sort()
-    return [s[-1] for s in scored]
+        scored.append((min_dist, i, key, params))
+
+    groups: dict[tuple, list] = {}
+    for s in sorted(scored):
+        stratum = (s[3].get("nshort", 0), s[3].get("nmid_short", 0))
+        groups.setdefault(stratum, []).append(s)
+    # visit strata in order of their most-plausible member
+    ordered_groups = sorted(groups.values(), key=lambda g: g[0][:2])
+    out = []
+    for rank in range(max(len(g) for g in ordered_groups)):
+        for g in ordered_groups:
+            if rank < len(g):
+                out.append(g[rank][2])
+    return out
+
+
+class AdaptiveExplorer:
+    """Measurement-driven exploration ordering (goes beyond the
+    reference, whose ordering is a 209-row hardcoded table from its own
+    past experiments, optim_order.py:7-209).
+
+    A static prior cannot predict which grid axis binds a given
+    workload's recall/time frontier.  This explorer measures a diverse
+    seed schedule (``sort_experiments_by_prior``), then repeatedly fits
+    a tiny log-linear model (recall ~ log nprobe/nshort/nmid, log time ~
+    same) on everything measured so far and picks the cheapest remaining
+    point predicted to be non-dominated — i.e. the cheapest candidate
+    that could still extend the measured frontier.  When nothing is
+    predicted non-dominated, remaining points are taken cheapest-first
+    (they can only confirm the frontier, so confirm cheaply).
+
+    Exploration order only affects how soon the frontier is found — the
+    driver's Pareto pruning (`is_pareto_optimal`) supplies correctness —
+    so a mis-prediction costs time, never recall.
+    """
+
+    def __init__(self, op, keys: list[tuple]):
+        self.op = op
+        self.seeds = sort_experiments_by_prior(op, keys)
+        # seed budget: one pass over the (nshort, nmid) strata
+        n_strata = len({
+            (op.get_parameters(k).get("nshort", 0),
+             op.get_parameters(k).get("nmid_short", 0)) for k in keys
+        })
+        self.seed_n = min(max(n_strata, 4), len(keys))
+        self.remaining = list(self.seeds)
+        self.measured: list[tuple[dict, float, float]] = []
+
+    def update(self, params: dict, recall: float, time_s: float) -> None:
+        self.measured.append((dict(params), float(recall), float(time_s)))
+
+    @staticmethod
+    def _feat(p: dict):
+        return [
+            1.0,
+            math.log2(max(1, p.get("nprobe", 1))),
+            math.log2(max(1, p.get("nshort", 1))),
+            math.log2(max(1, p.get("nmid_short", 1))),
+            math.log2(max(1, p.get("quantizer_efSearch", 1))),
+        ]
+
+    def next(self):
+        """Pop the next key to measure (None when exhausted)."""
+        if not self.remaining:
+            return None
+        if len(self.measured) < self.seed_n:
+            return self.remaining.pop(0)
+
+        import numpy as np
+
+        X = np.array([self._feat(p) for p, _, _ in self.measured])
+        R = np.array([r for _, r, _ in self.measured])
+        T = np.log(np.maximum([t for _, _, t in self.measured], 1e-9))
+        wr, *_ = np.linalg.lstsq(X, R, rcond=None)
+        wt, *_ = np.linalg.lstsq(X, T, rcond=None)
+        # noise floor on the dominance test, calibrated to the model's
+        # own residuals: a predicted gain below what the fit can resolve
+        # is jitter, not a frontier extension — without it the explorer
+        # burns picks on same-recall nmid/nshort variants
+        eps_r = max(1e-3, 2.0 * float(np.std(R - X @ wr)))
+        eps_t = 1.0 + max(0.05, 2.0 * float(np.std(T - X @ wt)))
+
+        best = None  # (predicted_nondominated, predicted_time, key)
+        for k in self.remaining:
+            p = self.op.get_parameters(k)
+            f = np.array(self._feat(p))
+            rhat, that = float(f @ wr), float(np.exp(f @ wt))
+            nondom = not any(
+                r2 >= rhat - eps_r and t2 <= that * eps_t
+                for _, r2, t2 in self.measured
+            )
+            cand = (not nondom, that, k)  # non-dominated first, cheap first
+            if best is None or cand < best:
+                best = cand
+        self.remaining.remove(best[2])
+        return best[2]

@@ -25,7 +25,7 @@ from ..models.qinco import decode_raw
 from ..ops.distances import pairwise_sqdist_partial
 from ..utils import Timer, TimersManager
 from .operating_points import OperatingPoints
-from .optim_order import sort_experiments_by_prior
+from .optim_order import AdaptiveExplorer, sort_experiments_by_prior
 
 
 # ---------------------------------------------------------------------------
@@ -258,15 +258,27 @@ def run_search_ivf(task):
         run_pipeline(wparams,
                      TimersManager("search", "mid_rerank", "decode", "rerank"))
 
-    for i_exp, key in enumerate(experiments):
+    # Adaptive exploration: prior-seeded, then measurement-driven
+    # re-ranking after each point (see AdaptiveExplorer).  The static
+    # prior-sorted list above still determines the seed schedule.
+    explorer = AdaptiveExplorer(op, op.all_keys())
+    n_total = len(experiments)
+    i_exp = 0
+    while True:
+        key = explorer.next()
+        if key is None:
+            break
         parameters = op.get_parameters(key)
-        log(f"-\nExperiment {i_exp + 1}/{len(experiments)} {key}")
+        i_exp += 1
+        log(f"-\nExperiment {i_exp}/{n_total} {key}")
 
         if parameters in seen_parameters:
             for result in ivf_real_res:
                 if result["key"] == list(key):
                     op.add_operating_point(key, result["recalls"]["1"],
                                            result["t_total"])
+                    explorer.update(parameters, result["recalls"]["1"],
+                                    result["t_total"])
                     break
             log("Loaded from previous checkpoint")
             continue
@@ -281,6 +293,7 @@ def run_search_ivf(task):
         exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
         recalls, recalls_orig = run_pipeline(parameters, exp_timers)
         total_time = exp_timers.sum().get()
+        explorer.update(parameters, recalls[1], total_time)
         log(
             f"Achieved R@1={recalls[1] * 100:.2f} R@10={recalls[10] * 100:.2f} "
             f"R@100={recalls[100] * 100:.2f} in {exp_timers.sum().s()}"

@@ -302,9 +302,12 @@ def main():
     def search_sweep(cpu: bool):
         suffix = "_cpu" if cpu else ""
         if args.dense_sweep:
+            # 96 points; nshort=3 adds the shortlist-limited regime and
+            # nprobe up to 256 the coarse-recall tail, so the measured
+            # frontier has extent on both axes
             grid = [
-                "search.nprobe=[2,4,8,16,32,64]",
-                "search.nshort=[10,30,100]",
+                "search.nprobe=[2,4,8,16,32,64,128,256]",
+                "search.nshort=[3,10,30,100]",
                 "search.nmid_short=[1,2,3]",
                 "search.explore_all=true",
             ]
@@ -347,36 +350,66 @@ def main():
     # 7. Pareto-prior ordering check: do the first-k explored points hit
     # the measured recall/time frontier? (VERDICT r1 #4)
     def pareto_check(res, tag):
-        """Validate the generated exploration prior against the measured
-        (recall, time) frontier: what fraction of the true frontier do
-        the first-k points in prior order cover?  Results appear in
-        ivf_real_res in exploration order (VERDICT r2 #5)."""
-        pts = [
-            (r["recalls"]["1"], r["t_total"], i)
-            for i, r in enumerate(res["ivf_real_res"])
+        """Validate the exploration ordering against the measured
+        (recall, time) frontier (VERDICT r2 #5): replay AdaptiveExplorer
+        deterministically over the measured points (every pick's update
+        uses the real measurement, exactly as a live run would see it)
+        and report what fraction of the true frontier the first-k
+        explored points hit/cover.  Replaying decouples the validation
+        from the order the results file happened to be written in."""
+        from qinco_tpu.search.operating_points import OperatingPoints
+        from qinco_tpu.search.optim_order import AdaptiveExplorer
+
+        results = res["ivf_real_res"]
+        by = {
+            (r["parameters"]["nprobe"], r["parameters"]["nshort"],
+             r["parameters"]["nmid_short"]): (r["recalls"]["1"], r["t_total"])
+            for r in results
+        }
+        op2 = OperatingPoints()
+        op2.add_range("nprobe", sorted({k[0] for k in by}))
+        op2.add_range("nshort", sorted({k[1] for k in by}))
+        op2.add_range("nmid_short", sorted({k[2] for k in by}))
+        ex = AdaptiveExplorer(op2, op2.all_keys())
+        pts = []
+        while True:
+            key = ex.next()
+            if key is None:
+                break
+            p = op2.get_parameters(key)
+            m = by.get((p["nprobe"], p["nshort"], p["nmid_short"]))
+            if m is None:
+                continue  # grid point not measured (shouldn't happen)
+            ex.update(p, *m)
+            pts.append(m)
+
+        frontier = [
+            i for i, (rec, t) in enumerate(pts)
+            if not any(r2 >= rec and t2 <= t and (r2 > rec or t2 < t)
+                       for r2, t2 in pts)
         ]
-        frontier = set()
-        for rec, t, i in pts:
-            dominated = any(
-                (r2 >= rec and t2 <= t and (r2 > rec or t2 < t))
-                for r2, t2, _ in pts
-            )
-            if not dominated:
-                frontier.add(i)
         nf = max(len(frontier), 1)
-        hits = {}
+        stats = {}
         for mult in (1, 2):
             k = min(mult * nf, len(pts))
-            hit = len(frontier & set(range(k))) / nf
-            hits[f"first_{mult}x_frontier_hit_fraction"] = round(hit, 3)
+            stats[f"first_{mult}x_frontier_hit_fraction"] = round(
+                len(set(frontier) & set(range(k))) / nf, 3)
+            # tolerant coverage: an early point within measurement noise
+            # (recall -0.002, time +15%) of a frontier point covers it
+            cov = sum(
+                any(r2 >= rec - 0.002 and t2 <= t * 1.15
+                    for r2, t2 in pts[:k])
+                for rec, t in (pts[i] for i in frontier)
+            ) / nf
+            stats[f"first_{mult}x_frontier_coverage"] = round(cov, 3)
         report[f"pareto_prior{tag}"] = {
             "n_measured": len(pts),
             "frontier_size": len(frontier),
             "frontier_indices_in_explore_order": sorted(frontier),
-            **hits,
+            **stats,
         }
         log(f"[{tag or 'tpu'}] frontier {sorted(frontier)} of {len(pts)} "
-            f"measured; prior hit fractions {hits}")
+            f"measured; adaptive-explorer stats {stats}")
 
     pareto_check(res, "")
     if res_cpu is not None:

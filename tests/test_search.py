@@ -631,3 +631,43 @@ def test_pairwise_scores_matches_decode_path():
         ((np.repeat(xq, nmid, axis=0) - recon) ** 2).sum(-1).reshape(nq, nmid)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_adaptive_explorer_finds_frontier_early():
+    """On a synthetic response surface where recall depends ONLY on
+    nprobe and time grows with nshort (the regime that defeats any
+    static prior built from a shortlist-limited workload), the adaptive
+    explorer must measure the true frontier — the nprobe ladder at
+    minimal nshort — within its seed pass + a few adaptive picks."""
+    from qinco_tpu.search.optim_order import AdaptiveExplorer
+
+    op = OperatingPoints()
+    op.add_range("nprobe", [2, 4, 8, 16, 32, 64])
+    op.add_range("nshort", [10, 30, 100])
+    op.add_range("nmid_short", [1, 2, 3])
+
+    def oracle(p):
+        recall = 1.0 - 0.5 / p["nprobe"]  # only nprobe matters
+        t = 0.2 * p["nprobe"] + 0.05 * p["nshort"] + 0.01 * p["nmid_short"]
+        return recall, t
+
+    ex = AdaptiveExplorer(op, op.all_keys())
+    explored = []
+    while True:
+        k = ex.next()
+        if k is None:
+            break
+        p = op.get_parameters(k)
+        r, t = oracle(p)
+        ex.update(p, r, t)
+        explored.append((p, r, t))
+
+    assert len(explored) == 54
+    # true frontier: (nprobe, nshort=10, nmid=1) for every nprobe
+    frontier = {(np_, 10, 1) for np_ in (2, 4, 8, 16, 32, 64)}
+    early = {
+        (p["nprobe"], p["nshort"], p["nmid_short"])
+        for p, _, _ in explored[: ex.seed_n + 8]
+    }
+    hit = len(frontier & early) / len(frontier)
+    assert hit >= 0.8, (hit, sorted(early))
