@@ -244,19 +244,6 @@ def run_search_ivf(task):
     # native scan threads, and pages the inverted lists in, so the first
     # *measured* point isn't charged one-time costs.  The reference's
     # protocol gets this for free by reusing a long-lived faiss index.
-    pending = [k for k in experiments
-               if op.get_parameters(k) not in seen_parameters]
-    if pending and cfg.search.get("warmup", True):
-        wparams = dict(op.get_parameters(pending[0]))
-        for name, vals in (("nprobe", cfg.search.nprobe),
-                           ("nshort", cfg.search.nshort)):
-            wparams[name] = min(vals)
-        # max nmid multiplier so the mid-rerank path (decoder jit) warms
-        # too; with min(nshort) it stays cheap.
-        wparams["nmid_short"] = max(nmid)
-        log(f"Warmup (untimed): {wparams}")
-        run_pipeline(wparams,
-                     TimersManager("search", "mid_rerank", "decode", "rerank"))
 
     # Adaptive exploration: prior-seeded, then measurement-driven
     # re-ranking after each point (see AdaptiveExplorer).  The static
@@ -289,6 +276,17 @@ def run_search_ivf(task):
                 max_perf, min_time):
             log(f"SKIP, {max_perf=:.3f} {min_time=:.3f}")
             continue
+
+        if cfg.search.get("warmup", True):
+            # Untimed warm pass at the EXACT same shapes: every distinct
+            # (nprobe, nshort, nmid) triggers fresh jit compiles (coarse
+            # probe is static in nprobe, the fused rerank in nshort/topk)
+            # and first-touch costs; without this, first-of-shape points
+            # measured 4-10x their steady-state time and corrupted the
+            # frontier.  The reference's protocol measures steady state
+            # for free by reusing a long-lived faiss index.
+            run_pipeline(parameters, TimersManager(
+                "search", "mid_rerank", "decode", "rerank"))
 
         exp_timers = TimersManager("search", "mid_rerank", "decode", "rerank")
         recalls, recalls_orig = run_pipeline(parameters, exp_timers)
