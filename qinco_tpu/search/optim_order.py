@@ -103,14 +103,29 @@ class AdaptiveExplorer:
 
     def __init__(self, op, keys: list[tuple]):
         self.op = op
-        self.seeds = sort_experiments_by_prior(op, keys)
-        # seed budget: one pass over the (nshort, nmid) strata
-        n_strata = len({
-            (op.get_parameters(k).get("nshort", 0),
-             op.get_parameters(k).get("nmid_short", 0)) for k in keys
-        })
-        self.seed_n = min(max(n_strata, 4), len(keys))
-        self.remaining = list(self.seeds)
+        ordered = sort_experiments_by_prior(op, keys)
+        # Seed schedule: one pick per nshort stratum at the minimum nmid
+        # (prior-nearest nprobe within the stratum), plus one pick per
+        # remaining nmid value so its axis is identifiable to the model.
+        # A full (nshort x nmid) pass burned more picks than 2x the
+        # typical frontier size before adaptivity even started.
+        params = {k: op.get_parameters(k) for k in ordered}
+        nmids = sorted({p.get("nmid_short", 0) for p in params.values()})
+        seeds = []
+        seen_ns = set()
+        for k in ordered:
+            p = params[k]
+            if p.get("nmid_short", 0) == nmids[0] and \
+                    p.get("nshort", 0) not in seen_ns:
+                seen_ns.add(p.get("nshort", 0))
+                seeds.append(k)
+        for nm in nmids[1:]:
+            for k in ordered:
+                if params[k].get("nmid_short", 0) == nm and k not in seeds:
+                    seeds.append(k)
+                    break
+        self.seed_n = len(seeds)
+        self.remaining = seeds + [k for k in ordered if k not in seeds]
         self.measured: list[tuple[dict, float, float]] = []
 
     def update(self, params: dict, recall: float, time_s: float) -> None:
@@ -118,19 +133,29 @@ class AdaptiveExplorer:
 
     @staticmethod
     def _feat(p: dict):
+        # log2 terms model multiplicative cost; the reciprocal terms
+        # capture recall's saturating shape (miss rate ~ 1/nprobe,
+        # 1/nshort), which a pure log-linear model misfits badly enough
+        # to corrupt the dominance test
         return [
             1.0,
             math.log2(max(1, p.get("nprobe", 1))),
             math.log2(max(1, p.get("nshort", 1))),
             math.log2(max(1, p.get("nmid_short", 1))),
             math.log2(max(1, p.get("quantizer_efSearch", 1))),
+            1.0 / max(1, p.get("nprobe", 1)),
+            1.0 / max(1, p.get("nshort", 1)),
         ]
 
     def next(self):
         """Pop the next key to measure (None when exhausted)."""
         if not self.remaining:
             return None
-        if len(self.measured) < self.seed_n:
+        n_feat = len(self._feat({}))
+        # with fewer measurements than ~1.5x the feature count the fit
+        # is (near-)interpolating and extrapolates junk — stay on the
+        # stratified prior schedule until the model is overdetermined
+        if len(self.measured) < max(self.seed_n, n_feat + 3):
             return self.remaining.pop(0)
 
         import numpy as np
@@ -138,6 +163,7 @@ class AdaptiveExplorer:
         X = np.array([self._feat(p) for p, _, _ in self.measured])
         R = np.array([r for _, r, _ in self.measured])
         T = np.log(np.maximum([t for _, _, t in self.measured], 1e-9))
+
         wr, *_ = np.linalg.lstsq(X, R, rcond=None)
         wt, *_ = np.linalg.lstsq(X, T, rcond=None)
         # noise floor on the dominance test, calibrated to the model's
@@ -147,7 +173,7 @@ class AdaptiveExplorer:
         eps_r = max(1e-3, 2.0 * float(np.std(R - X @ wr)))
         eps_t = 1.0 + max(0.05, 2.0 * float(np.std(T - X @ wt)))
 
-        best = None  # (predicted_nondominated, predicted_time, key)
+        best = None  # (dominated?, -predicted recall gain, key)
         for k in self.remaining:
             p = self.op.get_parameters(k)
             f = np.array(self._feat(p))
@@ -156,7 +182,12 @@ class AdaptiveExplorer:
                 r2 >= rhat - eps_r and t2 <= that * eps_t
                 for _, r2, t2 in self.measured
             )
-            cand = (not nondom, that, k)  # non-dominated first, cheap first
+            # predicted recall gain over the best measurement at <= its
+            # predicted cost: directly targets frontier extensions
+            base = max(
+                [r2 for _, r2, t2 in self.measured if t2 <= that] or [0.0]
+            )
+            cand = (not nondom, -(rhat - base), k)
             if best is None or cand < best:
                 best = cand
         self.remaining.remove(best[2])

@@ -370,8 +370,37 @@ def main():
         op2.add_range("nprobe", sorted({k[0] for k in by}))
         op2.add_range("nshort", sorted({k[1] for k in by}))
         op2.add_range("nmid_short", sorted({k[2] for k in by}))
+        def run_order(order_pts):
+            """Coverage stats for one exploration order over the same
+            measured set.  Frontier membership among near-tied points is
+            a lottery under this box's timing noise (re-measuring one
+            point moves t by +-15-60%% on the tunnel), so the headline
+            metric is tolerant COVERAGE: a frontier point counts as
+            found once an early point is within recall -0.002 and time
+            x1.15 of it."""
+            pts = order_pts
+            frontier = [
+                i for i, (rec, t) in enumerate(pts)
+                if not any(r2 >= rec and t2 <= t and (r2 > rec or t2 < t)
+                           for r2, t2 in pts)
+            ]
+            nf = max(len(frontier), 1)
+            stats = {"frontier_size": len(frontier)}
+            for mult in (1, 2):
+                k = min(mult * nf, len(pts))
+                stats[f"first_{mult}x_hit"] = round(
+                    len(set(frontier) & set(range(k))) / nf, 3)
+                cov = sum(
+                    any(r2 >= rec - 0.002 and t2 <= t * 1.15
+                        for r2, t2 in pts[:k])
+                    for rec, t in (pts[i] for i in frontier)
+                ) / nf
+                stats[f"first_{mult}x_coverage"] = round(cov, 3)
+            return frontier, stats
+
+        # adaptive explorer replay (each update uses the real measurement)
         ex = AdaptiveExplorer(op2, op2.all_keys())
-        pts = []
+        pts_adaptive = []
         while True:
             key = ex.next()
             if key is None:
@@ -381,35 +410,29 @@ def main():
             if m is None:
                 continue  # grid point not measured (shouldn't happen)
             ex.update(p, *m)
-            pts.append(m)
+            pts_adaptive.append(m)
+        frontier, stats_adaptive = run_order(pts_adaptive)
 
-        frontier = [
-            i for i, (rec, t) in enumerate(pts)
-            if not any(r2 >= rec and t2 <= t and (r2 > rec or t2 < t)
-                       for r2, t2 in pts)
-        ]
-        nf = max(len(frontier), 1)
-        stats = {}
-        for mult in (1, 2):
-            k = min(mult * nf, len(pts))
-            stats[f"first_{mult}x_frontier_hit_fraction"] = round(
-                len(set(frontier) & set(range(k))) / nf, 3)
-            # tolerant coverage: an early point within measurement noise
-            # (recall -0.002, time +15%) of a frontier point covers it
-            cov = sum(
-                any(r2 >= rec - 0.002 and t2 <= t * 1.15
-                    for r2, t2 in pts[:k])
-                for rec, t in (pts[i] for i in frontier)
-            ) / nf
-            stats[f"first_{mult}x_frontier_coverage"] = round(cov, 3)
+        # static prior ordering, for comparison
+        from qinco_tpu.search.optim_order import sort_experiments_by_prior
+        static_keys = sort_experiments_by_prior(op2, op2.all_keys())
+        pts_static = []
+        for key in static_keys:
+            p = op2.get_parameters(key)
+            m = by.get((p["nprobe"], p["nshort"], p["nmid_short"]))
+            if m is not None:
+                pts_static.append(m)
+        _, stats_static = run_order(pts_static)
+
         report[f"pareto_prior{tag}"] = {
-            "n_measured": len(pts),
-            "frontier_size": len(frontier),
+            "n_measured": len(pts_adaptive),
             "frontier_indices_in_explore_order": sorted(frontier),
-            **stats,
+            "adaptive_explorer": stats_adaptive,
+            "static_prior": stats_static,
         }
-        log(f"[{tag or 'tpu'}] frontier {sorted(frontier)} of {len(pts)} "
-            f"measured; adaptive-explorer stats {stats}")
+        log(f"[{tag or 'tpu'}] frontier {sorted(frontier)} of "
+            f"{len(pts_adaptive)}; adaptive {stats_adaptive} | "
+            f"static {stats_static}")
 
     pareto_check(res, "")
     if res_cpu is not None:

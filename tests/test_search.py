@@ -667,7 +667,7 @@ def test_adaptive_explorer_finds_frontier_early():
     frontier = {(np_, 10, 1) for np_ in (2, 4, 8, 16, 32, 64)}
     early = {
         (p["nprobe"], p["nshort"], p["nmid_short"])
-        for p, _, _ in explored[: ex.seed_n + 8]
+        for p, _, _ in explored[: ex.seed_n + 2 * len(frontier)]
     }
     hit = len(frontier & early) / len(frontier)
-    assert hit >= 0.8, (hit, sorted(early))
+    assert hit >= 0.8, (hit, ex.seed_n, sorted(early))
