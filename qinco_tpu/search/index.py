@@ -180,12 +180,22 @@ class IvfIndex:
         # norm_mode: which squared norm the int8 quantizer stores.
         #  "resid": ||r||² of the AQ reconstruction; scan uses per-(q,p)
         #           LUTs -2(q-c).C (or their split decomposition).
-        #  "full":  ||c+r||² of centroid + reconstruction; scan uses the
-        #           query-only LUT -2q.C — the only tractable layout for
-        #           paired K² codes, where per-centroid tables would be
-        #           nlist*M*K²*4 bytes.
+        #  "full":  full-reconstruction distances via the query-only LUT
+        #           -2q.C — the only tractable layout for paired K²
+        #           codes, where per-centroid tables would be
+        #           nlist*M*K²*4 bytes.  The quantizer stores the
+        #           *relative* norm ||y||² - ||c_list||² = ||r||² + 2c.r:
+        #           quantizing the absolute ||c+r||² would spread the
+        #           int8 range over the centroid-norm variation across
+        #           all lists and coarsen every scanned distance
+        #           (round-3 advisor finding).  ||c||² is exact and
+        #           known per list, so the scan folds it into the bias,
+        #           which becomes exactly ||q - c||².
         assert norm_mode in ("resid", "full"), norm_mode
         self.norm_mode = norm_mode
+        # Pre-2026-08-19 saved indexes quantized the absolute ||c+r||²;
+        # load() flips this so they keep scanning correctly.
+        self._legacy_abs_norms = False
         self.hnsw: HnswQuantizer | None = None
         self.ef_search = 16
         # Split-LUT scan state (enable_split_lut): cterm (nlist, M, K) f32
@@ -239,8 +249,27 @@ class IvfIndex:
     def list_size(self, list_no: int) -> int:
         return self._lib.qivf_list_size(self._h, list_no)
 
-    def train_norm(self, norms: np.ndarray) -> None:
+    @property
+    def cent_norms(self) -> np.ndarray:
+        """Exact ||c||² per list (f64 accumulation), cached."""
+        if self._cent_norms is None:
+            self._cent_norms = (
+                self.ivf_centroids.astype(np.float64) ** 2
+            ).sum(-1).astype(np.float32)
+        return self._cent_norms
+
+    def train_norm(self, norms: np.ndarray, list_nos=None) -> None:
+        """Train the int8 norm quantizer.  ``norms`` are ||r||² for
+        norm_mode='resid' and the full ||c+r||² for 'full' — in the
+        latter case ``list_nos`` is required so the exact per-list
+        ||c||² can be subtracted before fitting the quantizer range."""
         norms = np.ascontiguousarray(norms, np.float32)
+        if self.norm_mode == "full" and not self._legacy_abs_norms:
+            assert list_nos is not None, (
+                "norm_mode='full' needs list_nos to train the relative-"
+                "norm quantizer")
+            norms = norms - self.cent_norms[np.asarray(list_nos)]
+            norms = np.ascontiguousarray(norms, np.float32)
         self._lib.qivf_train_norm(self._h, _ptr(norms, ctypes.c_float), len(norms))
 
     @property
@@ -248,10 +277,15 @@ class IvfIndex:
         return self._lib.qivf_code_bytes(self._h)
 
     def add_entries(self, list_no: int, ids, codes, norms) -> None:
-        """codes: (n, M) ints < K; norms: (n,) sq-norms (see norm_mode)."""
+        """codes: (n, M) ints < K; norms: (n,) sq-norms — ||r||² for
+        norm_mode='resid', full ||c+r||² for 'full' (the per-list ||c||²
+        is subtracted here before quantization; see __init__)."""
         ids = np.ascontiguousarray(ids, np.int64)
         dtype = np.uint8 if self.code_bytes == 1 else np.uint16
         codes = np.ascontiguousarray(codes, dtype)
+        norms = np.asarray(norms, np.float32)
+        if self.norm_mode == "full" and not self._legacy_abs_norms:
+            norms = norms - self.cent_norms[list_no]
         norms = np.ascontiguousarray(norms, np.float32)
         n = len(ids)
         assert codes.shape == (n, self.M)
@@ -342,13 +376,15 @@ class IvfIndex:
         self,
         probe_lists: np.ndarray,  # (nq, nprobe) int32
         qlut: np.ndarray,  # (nq, M, K) f32 = -2 q.C
-        bias: np.ndarray,  # (nq, nprobe) f32 = ||q||² - 2 q.c_p
+        bias: np.ndarray,  # (nq, nprobe) f32 = ||q - c_p||²
         nshort: int,
         nthreads: int = 0,
     ):
         """Query-only-LUT scan for norm_mode='full' indexes (paired K²
-        codes).  Distances are exact ||q - y||² up to the int8 norm
-        quantization, like the other scans."""
+        codes).  The stored norm is the relative ||y||² - ||c||² so the
+        bias carries the exact ||q - c||² (legacy absolute-norm indexes
+        pass ||q||² - 2q.c instead).  Distances are exact ||q - y||² up
+        to the int8 norm quantization, like the other scans."""
         assert self.norm_mode == "full", "qlut scan needs full-recon norms"
         nq, nprobe = probe_lists.shape
         probe_lists = np.ascontiguousarray(probe_lists, np.int32)
@@ -417,11 +453,13 @@ class IvfIndex:
                 if self._cb2d is None:
                     self._cb2d = np.ascontiguousarray(
                         self.codebooks.reshape(M * K, D), np.float32)
-                    self._cent_norms = (
-                        self.ivf_centroids.astype(np.float64) ** 2
-                    ).sum(-1).astype(np.float32)
-                # bias = ||q||² - 2 q.c  =  ||q - c||² - ||c||²
-                bias_f = bias - self._cent_norms[probes]
+                if self._legacy_abs_norms:
+                    # legacy absolute ||y||² norms: bias = ||q||² - 2 q.c
+                    bias_f = bias - self.cent_norms[probes]
+                else:
+                    # relative norms ||y||² - ||c||²: bias = ||q - c||²,
+                    # exactly what coarse_probe / HNSW already return
+                    bias_f = bias
                 # qlut is (nq_sub, M, K) f32 — 2 MB/query at M=8, K=2^16;
                 # sub-batch so the buffer stays under ~256 MB
                 qb = max(64, (256 << 20) // (M * K * 4))
@@ -459,6 +497,9 @@ class IvfIndex:
             ivf_centroids=self.ivf_centroids,
             codebooks=self.codebooks,
             norm_mode=np.asarray(self.norm_mode),
+            # full-mode norms are stored relative (||y||² - ||c||²)
+            # unless this index was itself loaded from a legacy file
+            norm_rel=np.asarray(not self._legacy_abs_norms),
         )
 
     @classmethod
@@ -469,8 +510,12 @@ class IvfIndex:
         meta = np.load(str(path) + ".meta.npz")
         norm_mode = (str(meta["norm_mode"]) if "norm_mode" in meta.files
                      else "resid")
-        return cls(h, meta["ivf_centroids"], meta["codebooks"],
-                   norm_mode=norm_mode)
+        idx = cls(h, meta["ivf_centroids"], meta["codebooks"],
+                  norm_mode=norm_mode)
+        if norm_mode == "full" and not (
+                "norm_rel" in meta.files and bool(meta["norm_rel"])):
+            idx._legacy_abs_norms = True  # pre-2026-08-19 file
+        return idx
 
 
 # ---------------------------------------------------------------------------

@@ -46,11 +46,22 @@ def unpair_codes_ivf(codes: np.ndarray, K: int) -> np.ndarray:
     return np.concatenate([ivf, first, second], axis=-1)
 
 
+#: Above this many one-hot design columns (M·K) the dense normal
+#: equations stop fitting in memory and the backfit AQ path is used.
+AQ_DENSE_FIT_MAX = 16384
+
+
 def build_index_training_phase(
     cfg, ivf_centroids: np.ndarray, vec_data: np.ndarray,
     encoded_data: np.ndarray, log=print,
+    aq_dense_fit_max: int = AQ_DENSE_FIT_MAX,
 ) -> IvfIndex:
-    """Fit AQ codebooks on IVF residuals and assemble an empty index."""
+    """Fit AQ codebooks on IVF residuals and assemble an empty index.
+
+    ``aq_dense_fit_max`` caps the M·K design width the dense lstsq fit
+    is allowed (tests lower it to exercise the backfit path at small
+    scale — the K²=65536 production regime always exceeds the default).
+    """
     timer = Timer()
     K = cfg.K
     if cfg.search.pair_codes:
@@ -73,7 +84,7 @@ def build_index_training_phase(
         xt_residuals = vec_data - ivf_centroids[encoded_data[:, 0]]
 
         M_codes = encoded_data.shape[1] - 1
-        if M_codes * K > 16384:
+        if M_codes * K > aq_dense_fit_max:
             # the (M·K)² normal equations stop fitting in memory; the
             # backfitting fit converges to the same solution family
             log(f"[{timer}] Training fixed AQ codebooks (backfit, "
@@ -100,9 +111,13 @@ def build_index_training_phase(
         if norm_mode == "full":
             norms = ((xt_recons + ivf_centroids[encoded_data[:, 0]]) ** 2
                      ).sum(-1)
+            # list_nos lets the index subtract the exact per-list ||c||²
+            # so the int8 quantizer spans only the residual-dependent
+            # part (round-3 advisor finding)
+            index.train_norm(norms, list_nos=encoded_data[:, 0])
         else:
             norms = (xt_recons**2).sum(-1)
-        index.train_norm(norms)
+            index.train_norm(norms)
         log(f"[{timer}] Index ready (nlist={index.nlist}, M={index.M}, "
             f"norm_mode={norm_mode})")
     return index

@@ -30,12 +30,13 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import bench  # noqa: E402  (repo-root bench.py: profile ladder + protocol)
 
 # bench's ladder plus the experimental kernel variants not on the ladder.
-VARIANTS = dict(bench.PROFILES)
+VARIANTS = {p["name"]: p["overrides"] for p in bench.PROFILES}
 VARIANTS.update({
-    "perbin": dict(fast=True, pallas=True, fused_substep=True,
-                   compute_dtype="bfloat16", perbin=True),
     "selected_approxbeam": dict(fast=True, pallas=True,
                                 compute_dtype="bfloat16", approx_beam=True),
+    "perbin_approxbeam": dict(fast=True, pallas=True, fused_substep=True,
+                              perbin=True, compute_dtype="bfloat16",
+                              approx_beam=True),
 })
 
 PER_VARIANT_BUDGET_S = 240.0

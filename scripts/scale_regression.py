@@ -142,7 +142,7 @@ def main():
                          "(the reference's timing protocol)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--dense-sweep", action="store_true",
-                    help="54-point grid with the Pareto skip disabled: "
+                    help="96-point grid with the Pareto skip disabled: "
                          "measures the full frontier so the generated "
                          "exploration prior can be validated against it "
                          "(VERDICT r2 #5)")

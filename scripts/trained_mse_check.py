@@ -60,6 +60,11 @@ def main():
     m_exact = mse(exact)
     print(f"exact                  {m_exact:.4f}", flush=True)
     for tag, sp in [
+        # xla_fast: approx_max_k pre-selection is only real on TPU (the
+        # CPU lowering is exact top-k) — run this one on the chip to get
+        # a meaningful delta for bench.py's ladder metadata
+        ("xla_fast (approxA)", exact.with_(
+            fast=True, compute_dtype="bfloat16")),
         ("fast+pallas (topA)", exact.with_(
             fast=True, pallas=True, compute_dtype="bfloat16")),
         ("fused_substep      ", exact.with_(

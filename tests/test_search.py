@@ -77,7 +77,7 @@ def test_qlut_scan_2byte_codes_full_norms(tmp_path):
     index = IvfIndex.build(centroids, books, norm_mode="full")
     assert index.code_bytes == 2
     norms = (vectors**2).sum(-1)  # full-recon norms: ||c + r||²
-    index.train_norm(norms)
+    index.train_norm(norms, list_nos=list_nos)
     index.add_batch(np.arange(n, dtype=np.int64), list_nos, codes, norms)
 
     xq = (vectors[:24] + 0.01 * rng.normal(size=(24, D))).astype(np.float32)
@@ -103,12 +103,65 @@ def test_qlut_scan_2byte_codes_full_norms(tmp_path):
     np.testing.assert_allclose(dists, d2, rtol=1e-5)
 
 
+def test_full_norm_quantizer_relative_precision():
+    """norm_mode='full' quantizes the relative ||y||² - ||c||²: with a
+    large centroid-norm spread across lists, the int8 step must track
+    the residual-dependent range only, keeping scanned distances tight.
+    The legacy absolute-||y||² quantizer spread the 255 levels over the
+    centroid-norm variation and biased every distance (round-3 advisor
+    finding on native/ivf_index.cpp)."""
+    from qinco_tpu.search.index import IvfIndex
+
+    rng = np.random.default_rng(7)
+    nlist, D, M, K = 64, 16, 2, 64
+    # centroid norms span two orders of magnitude across lists
+    centroids = rng.normal(size=(nlist, D)).astype(np.float32)
+    centroids *= rng.uniform(1.0, 60.0, size=(nlist, 1)).astype(np.float32)
+    books = rng.normal(size=(M, K, D)).astype(np.float32) * 0.5
+
+    n = 4000
+    list_nos = rng.integers(0, nlist, size=n)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.int64)
+    vectors = centroids[list_nos] + books[0][codes[:, 0]] + books[1][codes[:, 1]]
+    norms = (vectors.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    xq = (vectors[:64] + 0.01 * rng.normal(size=(64, D))).astype(np.float32)
+
+    def max_abs_err(index):
+        dists, found, _ = index.search_and_return_codes(xq, 4, nprobe=nlist)
+        true = ((xq[:, None, :] - vectors[found]) ** 2).sum(-1)
+        return np.abs(dists - true).max()
+
+    idx_rel = IvfIndex.build(centroids, books, norm_mode="full")
+    idx_rel.train_norm(norms, list_nos=list_nos)
+    idx_rel.add_batch(ids, list_nos, codes, norms)
+
+    idx_abs = IvfIndex.build(centroids, books, norm_mode="full")
+    idx_abs._legacy_abs_norms = True
+    idx_abs.train_norm(norms)
+    idx_abs.add_batch(ids, list_nos, codes, norms)
+
+    err_rel, err_abs = max_abs_err(idx_rel), max_abs_err(idx_abs)
+    # relative-norm quantization step ~ residual range / 255; absolute ~
+    # centroid-norm spread / 255 — orders of magnitude coarser here
+    assert err_rel < err_abs / 10, (err_rel, err_abs)
+    # and tight in absolute terms: within a few quantization steps of
+    # the residual-dependent range
+    rel_range = (norms - (centroids[list_nos] ** 2).sum(-1))
+    step = (rel_range.max() - rel_range.min()) / 255.0
+    assert err_rel < 2.0 * step, (err_rel, step)
+
+
 def test_build_index_pair_codes_k_gt_16():
     """build_index_training_phase at the reference's K=256-style regime
     (here K=32 -> K²=1024 for speed): must pick the backfit AQ fit,
     full-reconstruction norms, and 2-byte code storage, and the scan
     must retrieve the encoded vectors (reference formulation:
-    search_tasks.py:145-151, shipped hardcoded off at :641)."""
+    search_tasks.py:145-151, shipped hardcoded off at :641).
+
+    ``aq_dense_fit_max`` is lowered so M·K² (2·1024) exceeds it and the
+    backfit path — the one the K²=65536 production regime always takes —
+    actually runs; the log capture asserts which fit was picked."""
     from qinco_tpu.config import load_config
     from qinco_tpu.search.index_build import (
         build_index_training_phase, pair_codes_ivf)
@@ -128,10 +181,14 @@ def test_build_index_pair_codes_k_gt_16():
         resid += true_books[m][encoded[:, m + 1]]
     vecs = centroids[encoded[:, 0]] + resid
 
+    log_lines: list[str] = []
     index = build_index_training_phase(
-        cfg, centroids, vecs, encoded, log=lambda *a: None)
+        cfg, centroids, vecs, encoded,
+        log=lambda *a: log_lines.append(" ".join(map(str, a))),
+        aq_dense_fit_max=1024)
     assert index.norm_mode == "full" and index.code_bytes == 2
     assert index.K == K * K and index.M == M // 2
+    assert any("backfit" in line for line in log_lines), log_lines
 
     paired = pair_codes_ivf(encoded, K)
     recons = reconstruct_from_codebooks(paired[:, 1:], index.codebooks)
