@@ -109,16 +109,18 @@ class AdaptiveExplorer:
         # remaining nmid value so its axis is identifiable to the model.
         # A full (nshort x nmid) pass burned more picks than 2x the
         # typical frontier size before adaptivity even started.
+        # Strata are visited cheapest-first (nshort ascending): every
+        # measured regime's frontier contains its cheapest settings, so
+        # early seed picks double as frontier candidates.
         params = {k: op.get_parameters(k) for k in ordered}
         nmids = sorted({p.get("nmid_short", 0) for p in params.values()})
-        seeds = []
-        seen_ns = set()
+        stratum_pick: dict[int, tuple] = {}
         for k in ordered:
             p = params[k]
-            if p.get("nmid_short", 0) == nmids[0] and \
-                    p.get("nshort", 0) not in seen_ns:
-                seen_ns.add(p.get("nshort", 0))
-                seeds.append(k)
+            ns = p.get("nshort", 0)
+            if p.get("nmid_short", 0) == nmids[0] and ns not in stratum_pick:
+                stratum_pick[ns] = k
+        seeds = [stratum_pick[ns] for ns in sorted(stratum_pick)]
         for nm in nmids[1:]:
             for k in ordered:
                 if params[k].get("nmid_short", 0) == nm and k not in seeds:
@@ -127,35 +129,43 @@ class AdaptiveExplorer:
         self.seed_n = len(seeds)
         self.remaining = seeds + [k for k in ordered if k not in seeds]
         self.measured: list[tuple[dict, float, float]] = []
+        # Only axes that actually vary in this grid are identifiable;
+        # constant axes add lstsq columns without information and would
+        # inflate the overdetermined-fit gate below.
+        self._varying = {
+            axis for axis in ("nprobe", "nshort", "nmid_short",
+                              "quantizer_efSearch")
+            if len({p.get(axis, 1) for p in params.values()}) > 1
+        }
 
     def update(self, params: dict, recall: float, time_s: float) -> None:
         self.measured.append((dict(params), float(recall), float(time_s)))
 
-    @staticmethod
-    def _feat(p: dict):
+    def _feat(self, p: dict):
         # log2 terms model multiplicative cost; the reciprocal terms
         # capture recall's saturating shape (miss rate ~ 1/nprobe,
         # 1/nshort), which a pure log-linear model misfits badly enough
-        # to corrupt the dominance test
-        return [
-            1.0,
-            math.log2(max(1, p.get("nprobe", 1))),
-            math.log2(max(1, p.get("nshort", 1))),
-            math.log2(max(1, p.get("nmid_short", 1))),
-            math.log2(max(1, p.get("quantizer_efSearch", 1))),
-            1.0 / max(1, p.get("nprobe", 1)),
-            1.0 / max(1, p.get("nshort", 1)),
-        ]
+        # to corrupt the dominance test.  Constant axes are dropped (see
+        # __init__) so the overdetermined gate reflects real unknowns.
+        feats = [1.0]
+        for axis in ("nprobe", "nshort", "nmid_short",
+                     "quantizer_efSearch"):
+            if axis in self._varying:
+                feats.append(math.log2(max(1, p.get(axis, 1))))
+        for axis in ("nprobe", "nshort"):
+            if axis in self._varying:
+                feats.append(1.0 / max(1, p.get(axis, 1)))
+        return feats
 
     def next(self):
         """Pop the next key to measure (None when exhausted)."""
         if not self.remaining:
             return None
         n_feat = len(self._feat({}))
-        # with fewer measurements than ~1.5x the feature count the fit
+        # with fewer measurements than feature count + margin the fit
         # is (near-)interpolating and extrapolates junk — stay on the
         # stratified prior schedule until the model is overdetermined
-        if len(self.measured) < max(self.seed_n, n_feat + 3):
+        if len(self.measured) < max(self.seed_n, n_feat + 2):
             return self.remaining.pop(0)
 
         import numpy as np
@@ -173,7 +183,7 @@ class AdaptiveExplorer:
         eps_r = max(1e-3, 2.0 * float(np.std(R - X @ wr)))
         eps_t = 1.0 + max(0.05, 2.0 * float(np.std(T - X @ wt)))
 
-        best = None  # (dominated?, -predicted recall gain, key)
+        best = None  # (dominated?, predicted cost, key)
         for k in self.remaining:
             p = self.op.get_parameters(k)
             f = np.array(self._feat(p))
@@ -182,12 +192,13 @@ class AdaptiveExplorer:
                 r2 >= rhat - eps_r and t2 <= that * eps_t
                 for _, r2, t2 in self.measured
             )
-            # predicted recall gain over the best measurement at <= its
-            # predicted cost: directly targets frontier extensions
-            base = max(
-                [r2 for _, r2, t2 in self.measured if t2 <= that] or [0.0]
-            )
-            cand = (not nondom, -(rhat - base), k)
+            # among predicted frontier extensions, walk cost-ascending:
+            # each pick is then itself frontier-plausible at measurement
+            # time.  Dominated leftovers are also taken cheapest-first —
+            # they can only confirm the frontier, so confirm cheaply
+            # (and under timing noise the cheap ones are the likeliest
+            # to land on the true frontier anyway).
+            cand = (not nondom, that, k)
             if best is None or cand < best:
                 best = cand
         self.remaining.remove(best[2])

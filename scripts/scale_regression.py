@@ -140,6 +140,15 @@ def main():
     ap.add_argument("--cpu-search", action="store_true",
                     help="also run the search sweep with cpu=true "
                          "(the reference's timing protocol)")
+    ap.add_argument("--cpu-only-sweep", action="store_true",
+                    help="skip the TPU-pipeline sweep (for TPU-outage "
+                         "windows); implies --cpu-search")
+    ap.add_argument("--query-noise", type=float, default=1.0,
+                    help="query displacement scale (x cluster noise 1.5): "
+                         "1.0 keeps the NN gap >> reconstruction error so "
+                         "recall reduces to shortlist membership; ~2.0 "
+                         "makes rank-within-shortlist and nshort matter "
+                         "(non-degenerate Pareto frontier)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--dense-sweep", action="store_true",
                     help="96-point grid with the Pareto skip disabled: "
@@ -172,7 +181,8 @@ def main():
 
     if not args.skip_gen or not (out / "gt.npy").exists():
         phase("gen_data", lambda: gen_data(
-            out, args.db_size, args.train_size, args.nq, args.d
+            out, args.db_size, args.train_size, args.nq, args.d,
+            query_noise=args.query_noise,
         ))
 
     # 1. IVF centroids (TPU k-means, device-side streaming M-step)
@@ -342,9 +352,11 @@ def main():
         ]
         return res
 
-    res = phase("search_sweep", lambda: search_sweep(False))
+    res = None
+    if not args.cpu_only_sweep:
+        res = phase("search_sweep", lambda: search_sweep(False))
     res_cpu = None
-    if args.cpu_search:
+    if args.cpu_search or args.cpu_only_sweep:
         res_cpu = phase("search_sweep_cpu", lambda: search_sweep(True))
 
     # 7. Pareto-prior ordering check: do the first-k explored points hit
@@ -434,7 +446,8 @@ def main():
             f"{len(pts_adaptive)}; adaptive {stats_adaptive} | "
             f"static {stats_static}")
 
-    pareto_check(res, "")
+    if res is not None:
+        pareto_check(res, "")
     if res_cpu is not None:
         pareto_check(res_cpu, "_cpu")
 

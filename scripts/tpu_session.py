@@ -122,6 +122,20 @@ def main():
         safe("sel_vec_per_s", lambda: round(_throughput(sel), 1))
         safe("fused_vec_per_s", lambda: round(_throughput(base), 1))
 
+    if "batch" in steps:
+        # batch-size sweep on the fastest (perbin) profile: fixed per-
+        # dispatch costs (topk setup, backtrace, scan glue) amortize with
+        # rows — is 4096 leaving throughput on the table?
+        pb = base.with_(perbin=True)
+        for b in (2048, 4096, 8192, 16384):
+            n_it = max(2, 32768 // b)
+            safe(f"perbin_b{b}_vec_per_s",
+                 lambda b=b, n=n_it: round(_throughput(pb, batch=b,
+                                                       n_iter=n), 1))
+        # and the exact-selection kernel at the best large batch
+        safe("sel_b8192_vec_per_s",
+             lambda: round(_throughput(sel, batch=8192, n_iter=4), 1))
+
     if "sel" in steps:
         # exact-selection kernel: throughput at the default row tile and
         # MSE delta (should be ~0: selection exact, winners recomputed)
