@@ -56,32 +56,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # mse_delta_pct is vs the exact f32 profile on a trained checkpoint,
 # bench_artifacts/trained_mse_2026-08-18.log).
 PROFILES = [
-    # per-bin G-hot batched-matmul kernel: 86.2k vec/s measured
+    # per-bin G-hot batched-matmul kernel: 99.4k vec/s measured (b1024)
     dict(name="perbin", pallas=True, mse_delta_pct=0.433, numerics="binned",
+         batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16", perbin=True)),
-    # fused binned kernel: 62.5k vec/s measured
+    # fused binned kernel: 69.8k vec/s measured (b1024)
     dict(name="fused", pallas=True, mse_delta_pct=0.433, numerics="binned",
+         batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16")),
     # exact top-A selection kernel (reference-parity numerics):
-    # 50.5k vec/s measured
+    # 58.0k vec/s measured (b1024)
     dict(name="selected", pallas=True, mse_delta_pct=0.001,
-         numerics="exact-topA",
+         numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16")),
     # fused without the folded-up table (narrower VMEM footprint)
     dict(name="fused_nofold", pallas=True, mse_delta_pct=0.433,
-         numerics="binned",
+         numerics="binned", batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16", fold_up=False)),
     # XLA-only approximate-top-k pre-selection (no Pallas): fast compile.
-    # mse_delta_pct None = not yet measured on TPU (CPU lowers
-    # approx_max_k to exact top-k, so only a TPU run can measure it).
+    # 26.0k vec/s measured (b1024).  mse_delta_pct None = not yet
+    # measured on TPU (CPU lowers approx_max_k to exact top-k, so only
+    # a TPU run can measure it).
     dict(name="xla_fast", pallas=False, mse_delta_pct=None,
-         numerics="approx-topA",
+         numerics="approx-topA", batch=1024,
          overrides=dict(fast=True, compute_dtype="bfloat16")),
     # exact f32 — the MSE-delta reference point itself
     dict(name="exact", pallas=False, mse_delta_pct=0.0, numerics="exact",
+         batch=1024,
          overrides=dict()),
 ]
 # Numerics classes considered reference-parity for reporting purposes
@@ -96,10 +100,28 @@ OUTAGE_MARKERS = ("UNAVAILABLE", "failed to connect", "Connection reset",
 
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 840))
 FIRST_RUNG_BUDGET_S = float(os.environ.get("BENCH_PROFILE_BUDGET_S", 420))
+# Wall-clock held back from the Pallas ladder so the cheap non-Pallas
+# rungs always get a real attempt (2026-08-19 rehearsal: three slow
+# Mosaic compiles consumed the whole budget and the fallback loop was
+# entered with 0s left).
+FALLBACK_RESERVE_S = float(os.environ.get("BENCH_FALLBACK_RESERVE_S", 150))
+# Children share a persistent compilation cache: on slow-compile pool
+# days a rung that timed out may still have seeded the cache, letting
+# the retry (or the next session) skip the compile entirely.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.jax_cache"))
 
 
-def measure_profile(overrides: dict) -> float:
-    """Child mode: compile + time one profile, return vec/s."""
+def measure_profile(overrides: dict, batch: int = 4096) -> float:
+    """Child mode: compile + time one profile, return vec/s.
+
+    ``batch`` is per-profile (measured-best): the per-bin kernel peaks
+    at ~1024 rows — larger batches inflate the (N·F, ·) intermediates
+    past cache residency and LOSE ~15% throughput (batch sweep
+    2026-08-19, bench_artifacts/tpu_session_r4_batch.json) — while the
+    blocked kernels prefer 4096.  Total timed vectors stay 32768.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -111,7 +133,7 @@ def measure_profile(overrides: dict) -> float:
     spec = QincoSpec(D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
                      **overrides)
     params = init_params(jax.random.PRNGKey(0), spec)
-    batch, n_iter = 4096, 8
+    n_iter = max(1, 32768 // batch)
 
     # One dispatch runs all batches (scan) and reduces to a scalar that
     # we materialize on the host: on the remote-TPU transport,
@@ -172,7 +194,9 @@ def main():
 
     by_name = {p["name"]: p for p in PROFILES}
     if args.profile is not None:
-        vps = measure_profile(by_name[args.profile]["overrides"])
+        prof = by_name[args.profile]
+        vps = measure_profile(prof["overrides"],
+                              batch=prof.get("batch", 4096))
         print(json.dumps({"vec_per_s": round(vps, 1)}), flush=True)
         return
 
@@ -200,9 +224,13 @@ def main():
     outage_strikes = 0
     attempted = set()
     for i, prof in enumerate(ladder):
-        if remaining() < 60:
-            break
-        budget = min(FIRST_RUNG_BUDGET_S if i == 0 else 300.0, remaining())
+        # hold back the fallback reserve from Pallas rungs so the cheap
+        # non-Pallas rungs below always get a real attempt
+        reserve = FALLBACK_RESERVE_S if prof["pallas"] else 0.0
+        if remaining() - reserve < 60:
+            continue
+        budget = min(FIRST_RUNG_BUDGET_S if i == 0 else 300.0,
+                     remaining() - reserve)
         attempted.add(prof["name"])
         vps, outage, timed_out = run_child(prof["name"], budget)
         if vps is not None:

@@ -39,7 +39,10 @@ VARIANTS.update({
                               approx_beam=True),
 })
 
-PER_VARIANT_BUDGET_S = 240.0
+# 240s proved too tight on 2026-08-19: perbin timed out at 240s yet ran
+# at full speed (85.8k vec/s) given 560s — cold dial + Mosaic compile of
+# the A-way-unrolled kernel can exceed 4 min on a slow pool day.
+PER_VARIANT_BUDGET_S = 420.0
 
 
 def main():
@@ -50,7 +53,9 @@ def main():
     args = ap.parse_args()
 
     if args.one is not None:
-        vps = bench.measure_profile(VARIANTS[args.one])
+        batches = {p["name"]: p.get("batch", 4096) for p in bench.PROFILES}
+        vps = bench.measure_profile(VARIANTS[args.one],
+                                    batch=batches.get(args.one, 1024))
         print(json.dumps({"vec_per_s": round(vps, 1)}), flush=True)
         return
 
