@@ -125,8 +125,14 @@ def main():
         tstep = make_train_step(spec, tx, 0.1)
         w = jnp.ones((512,), jnp.float32)
         t0 = time.time()
-        # jit AFTER setting the flag: each mode gets its own traced step
-        # (fresh jit wrapper => no cross-mode cache hit)
+        # jit AFTER setting the flag, AND clear the module-level jitted
+        # encode's trace cache: train_step calls qinco.encode (itself
+        # @jax.jit), whose cached jaxpr — keyed only by (spec, shapes),
+        # identical across modes — was traced under the previous flag.
+        # Without this, the second model silently trains with the first
+        # mode's selection (caught 2026-08-20: both models came out
+        # bit-identical).
+        qmod.encode.clear_cache()
         step_fn = jax.jit(tstep)
         for step in range(args.steps):
             i = (step * 512) % (60_000 - 512)

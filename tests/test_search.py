@@ -690,6 +690,27 @@ def test_pairwise_scores_matches_decode_path():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_adaptive_explorer_seed_order_and_active_features():
+    """Seed strata are visited cheapest-first (nshort ascending) so the
+    early picks double as frontier candidates, and axes that don't vary
+    in the grid contribute no fit features (they'd inflate the
+    overdetermined-fit gate without adding information)."""
+    from qinco_tpu.search.optim_order import AdaptiveExplorer
+
+    op = OperatingPoints()
+    op.add_range("nprobe", [2, 8, 32])
+    op.add_range("nshort", [4, 16, 64])
+    op.add_range("nmid_short", [1])  # constant axis
+    ex = AdaptiveExplorer(op, op.all_keys())
+
+    ns_order = [op.get_parameters(k)["nshort"]
+                for k in ex.remaining[: ex.seed_n]]
+    assert ns_order == sorted(ns_order) and ns_order[0] == 4, ns_order
+    # features: intercept + log2(nprobe) + log2(nshort) + 1/nprobe +
+    # 1/nshort; the constant nmid_short axis is dropped
+    assert len(ex._feat({})) == 5, ex._feat({})
+
+
 def test_adaptive_explorer_finds_frontier_early():
     """On a synthetic response surface where recall depends ONLY on
     nprobe and time grows with nshort (the regime that defeats any
