@@ -90,6 +90,7 @@ def _segment_fit(target: jnp.ndarray, codes_m: jnp.ndarray, k: int):
 def compute_fixed_aq_codebooks_backfit(
     xt: np.ndarray, train_codes: np.ndarray, k: int, *, sweeps: int = 4,
     shrinkage: float = 8.0, batch: int = 262144,
+    prior: np.ndarray | None = None,
 ) -> np.ndarray:
     """Backfitting (cyclic coordinate-descent) estimate of fixed additive
     codebooks — the large-K path the joint normal equations can't reach.
@@ -102,13 +103,32 @@ def compute_fixed_aq_codebooks_backfit(
     mean of (residual + its own contribution), shrunk by a pseudo-count
     for sparse bins (65536 bins over 1M rows ≈ 15 samples each), and
     converges like Gauss-Seidel on the same normal equations.
+
+    ``prior (M, k, D)`` recenters the shrinkage: sparse bins pull toward
+    the prior codeword instead of toward zero (a MAP fit with a Gaussian
+    prior of strength ``shrinkage`` pseudo-counts per bin).  The paired
+    index build passes the *composed unpaired* AQ solution — bins the
+    trainset barely populates then keep the additive (m1) + (m2)
+    estimate rather than collapsing toward the bin-mean of ~nothing,
+    which is what cost the paired index its shortlist recall at 1M-row
+    trainsets (0.920 vs 0.976 unpaired; docs/search.md).
     """
     xt = np.asarray(xt, np.float32)
     train_codes = np.asarray(train_codes, np.int64)
     nt, M = train_codes.shape
     D = xt.shape[1]
-    books = np.zeros((M, k, D), np.float32)
-    resid = xt.copy()
+    if prior is not None:
+        assert prior.shape == (M, k, D), (prior.shape, (M, k, D))
+        books = np.asarray(prior, np.float32).copy()
+        resid = xt.copy()
+        for m in range(M):
+            cm = train_codes[:, m]
+            for i in range(0, nt, batch):
+                sl = slice(i, i + batch)
+                resid[sl] -= books[m][cm[sl]]
+    else:
+        books = np.zeros((M, k, D), np.float32)
+        resid = xt.copy()
 
     for sweep in range(sweeps):
         for m in range(M):
@@ -122,7 +142,15 @@ def compute_fixed_aq_codebooks_backfit(
                     jnp.asarray(tgt), jnp.asarray(cm[i:i + batch]), k)
                 sums += np.asarray(s, np.float64)
                 counts += np.asarray(c, np.float64)
-            new_book = (sums / (counts + shrinkage)[:, None]).astype(np.float32)
+            if prior is not None:
+                new_book = (
+                    (sums + shrinkage * prior[m])
+                    / (counts + shrinkage)[:, None]
+                ).astype(np.float32)
+            else:
+                new_book = (
+                    sums / (counts + shrinkage)[:, None]
+                ).astype(np.float32)
             for i in range(0, nt, batch):
                 sl = slice(i, i + batch)
                 resid[sl] += books[m][cm[sl]] - new_book[cm[sl]]

@@ -64,6 +64,7 @@ def build_index_training_phase(
     """
     timer = Timer()
     K = cfg.K
+    unpaired_data = None
     if cfg.search.pair_codes:
         # K -> K² combined codes (reference formulation:
         # search_tasks.py:145-151, shipped hardcoded off at :641).
@@ -75,6 +76,7 @@ def build_index_training_phase(
         )
         log(f"[{timer}] Pairing training codes: K {K} -> {K * K}")
         K = K * K
+        unpaired_data = encoded_data
         encoded_data = pair_codes_ivf(encoded_data, cfg.K)
     norm_mode = "full" if K > 256 else "resid"
     with timer:
@@ -85,12 +87,35 @@ def build_index_training_phase(
 
         M_codes = encoded_data.shape[1] - 1
         if M_codes * K > aq_dense_fit_max:
+            prior = None
+            if unpaired_data is not None and cfg.search.pair_prior:
+                # Recenter the sparse-bin shrinkage on the composed
+                # UNPAIRED solution: at 1M-row trainsets the K² bins see
+                # ~15 samples each and the zero-centered conditional
+                # mean cost the paired index its shortlist recall
+                # (0.920 vs 0.976 unpaired — docs/search.md).  The
+                # unpaired fit is a narrow (M·K)² system; pairing (m1,
+                # m2) codewords additively gives each K² bin a
+                # data-independent fallback estimate.
+                log(f"[{timer}] Fitting the unpaired AQ prior "
+                    f"({M_codes * 2}x{cfg.K})")
+                unp = compute_fixed_aq_codebooks(
+                    xt_residuals[:max_nt], unpaired_data[:max_nt, 1:],
+                    k=cfg.K,
+                )  # (M, K, D)
+                half = unp.shape[0] // 2
+                prior = (
+                    unp[:half, :, None, :] + unp[half:, None, :, :]
+                ).reshape(half, K, -1)
             # the (M·K)² normal equations stop fitting in memory; the
             # backfitting fit converges to the same solution family
             log(f"[{timer}] Training fixed AQ codebooks (backfit, "
-                f"{M_codes}x{K})")
+                f"{M_codes}x{K}"
+                + (", prior-centered shrinkage)" if prior is not None
+                   else ")"))
             codebooks = compute_fixed_aq_codebooks_backfit(
-                xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K
+                xt_residuals[:max_nt], encoded_data[:max_nt, 1:], k=K,
+                prior=prior,
             )
         else:
             log(f"[{timer}] Training fixed AQ codebooks")

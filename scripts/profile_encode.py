@@ -44,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--profile", choices=("fused", "perbin"), default="fused",
+                    help="which binned kernel chain to profile")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +64,7 @@ def main():
     spec = QincoSpec(
         D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
         fast=True, pallas=True, fused_substep=True, compute_dtype="bfloat16",
+        perbin=(args.profile == "perbin"),
     )
     params = init_params(jax.random.PRNGKey(0), spec)
     N = args.batch
@@ -88,8 +91,8 @@ def main():
     xh_bufs = [jnp.asarray(rng.normal(size=(NF, D)).astype(np.float32) * 0.1)
                for _ in range(n_bufs)]
 
-    # --- fused kernel alone ---
-    row_tile = max(8, min(512, 4096 // A))
+    # --- fused kernel alone (row tile matches _beam_step_fused's budget) ---
+    row_tile = max(8, min(512, 8192 // A))
 
     @jax.jit
     def kernel(xh):

@@ -56,6 +56,67 @@ def test_aq_backfit_matches_normal_equations():
     assert err_bf <= err_exact * 1.05, (err_bf, err_exact)
 
 
+def test_aq_backfit_prior_recenters_sparse_bins():
+    """Prior-centered shrinkage (the paired-index fit): with K² bins and
+    only a handful of samples per bin, plain zero-centered backfit
+    collapses unpopulated/sparse bins toward zero, while shrinkage
+    toward the composed unpaired solution keeps the additive estimate —
+    held-out reconstruction error must improve substantially."""
+    from qinco_tpu.ops.aq import compute_fixed_aq_codebooks_backfit
+    from qinco_tpu.search.index_build import pair_codes_ivf
+
+    rng = np.random.default_rng(7)
+    M, K, D = 4, 32, 12
+    true_books = rng.normal(size=(M, K, D)).astype(np.float32)
+    # Real QINCo codes carry pairwise structure the additive model can't
+    # express — that interaction is what the paired K² fit is FOR.
+    interact = 0.25 * rng.normal(size=(M // 2, K * K, D)).astype(np.float32)
+
+    def make(n, seed):
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, K, size=(n, M))
+        x = reconstruct_from_codebooks(codes, true_books)
+        for m in range(M // 2):
+            x += interact[m][codes[:, m] * K + codes[:, m + M // 2]]
+        x += 0.1 * r.normal(size=x.shape).astype(np.float32)
+        return codes, x
+
+    # ~16 samples per K²=1024 bin: the sparse regime of the 1M-row
+    # paired build (docs/search.md quotes ~15/bin at K²=65536).
+    codes_tr, x_tr = make(16384, 1)
+    codes_te, x_te = make(4096, 2)
+
+    # Pair (m, m + M/2) exactly like the index build (drop the IVF col).
+    def paired(codes):
+        with_ivf = np.concatenate(
+            [np.zeros((len(codes), 1), np.int64), codes], axis=1)
+        return pair_codes_ivf(with_ivf, K)[:, 1:]
+
+    k2 = K * K
+    unp = compute_fixed_aq_codebooks(x_tr, codes_tr, K)
+    prior = (unp[: M // 2, :, None, :] + unp[M // 2 :, None, :, :]).reshape(
+        M // 2, k2, D)
+
+    plain = compute_fixed_aq_codebooks_backfit(
+        x_tr, paired(codes_tr), k2, shrinkage=8.0)
+    prio = compute_fixed_aq_codebooks_backfit(
+        x_tr, paired(codes_tr), k2, shrinkage=8.0, prior=prior)
+
+    err_plain = ((reconstruct_from_codebooks(paired(codes_te), plain)
+                  - x_te) ** 2).mean()
+    err_prior = ((reconstruct_from_codebooks(paired(codes_te), prio)
+                  - x_te) ** 2).mean()
+    err_unpaired = ((reconstruct_from_codebooks(codes_te, unp)
+                     - x_te) ** 2).mean()
+    # prior-centered must (a) beat zero-centered clearly and (b) beat
+    # the unpaired fit it falls back to (it captures the pairwise
+    # interaction where bins have data, keeps the prior where they
+    # don't; plain zero-shrinkage captures it too but wrecks the
+    # additive part in sparse bins).
+    assert err_prior < err_plain * 0.8, (err_prior, err_plain)
+    assert err_prior < err_unpaired * 0.95, (err_prior, err_unpaired)
+
+
 def test_qlut_scan_2byte_codes_full_norms(tmp_path):
     """Paired-K² layout: 2-byte code storage + the query-only-LUT scan
     with full-reconstruction norms must return exact distances (up to
