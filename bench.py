@@ -130,8 +130,11 @@ def measure_profile(overrides: dict, batch: int = 4096) -> float:
     from qinco_tpu.models.qinco import encode as encode_n
     from qinco_tpu.models.spec import QincoSpec
 
-    spec = QincoSpec(D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32,
-                     **overrides)
+    # QINCo2-S shapes by default; overrides may also change the model
+    # shape (the kernel-smoke probe runs the M/L preset shapes too).
+    kw = dict(D=128, K=256, M=8, L=2, de=128, dh=256, A=16, B=32)
+    kw.update(overrides)
+    spec = QincoSpec(**kw)
     params = init_params(jax.random.PRNGKey(0), spec)
     n_iter = max(1, 32768 // batch)
 

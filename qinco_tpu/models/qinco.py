@@ -332,7 +332,9 @@ def _beam_step_fused(
     # R*A = 8192 under the 16MB scoped-vmem limit; the plain scoring
     # kernel's f32 activations overflow there, so it stays at 4096.
     budget = 8192 if (top_idx is None and sel_vals is None) else 4096
-    row_tile = max(8, min(512, budget // n_codes, _round_up_pow2(NF)))
+    row_tile = spec.row_tile or max(
+        8, min(512, budget // n_codes, _round_up_pow2(NF))
+    )
     if top_idx is None:
         pack_ids = True
         # Pass per-vector targets when the beam count divides the row

@@ -64,6 +64,11 @@ class QincoSpec:
     # semantics (exact reformulation); requires fold_up and no low-rank
     # factor — falls back to the blocked form otherwise.
     perbin: bool = False
+    # Row-tile override for the Pallas scoring kernels (0 = auto from
+    # the VMEM budget; see models/qinco.py:_beam_step_fused).  Exposed
+    # for hardware tile sweeps — throughput is tile-sensitive via
+    # grid-pipelining depth vs per-tile VMEM.
+    row_tile: int = 0
     # NB: a former `bf16_acc` knob (bf16 MXU accumulators in the fused
     # kernel) was removed after hardware validation: Mosaic rejects
     # non-32-bit matmul accumulators ("'tpu.matmul' op Expected matmul

@@ -37,6 +37,21 @@ VARIANTS.update({
     "perbin_approxbeam": dict(fast=True, pallas=True, fused_substep=True,
                               perbin=True, compute_dtype="bfloat16",
                               approx_beam=True),
+    # Preset shapes beyond QINCo2-S (the measure_profile default):
+    # qinco2-M (L=4, de=dh=384) and qinco2-L (L=16) exercise in/out
+    # projections and much deeper unrolled FFN chains in the kernels —
+    # Mosaic compile time and VMEM budgets that only a hardware probe
+    # can validate (reference presets: config/model_args/qinco2-*.yaml).
+    "perbin_qinco2M": dict(fast=True, pallas=True, fused_substep=True,
+                           perbin=True, compute_dtype="bfloat16",
+                           L=4, de=384, dh=384),
+    "perbin_qinco2L": dict(fast=True, pallas=True, fused_substep=True,
+                           perbin=True, compute_dtype="bfloat16",
+                           L=16, de=384, dh=384),
+    "selected_qinco2M": dict(fast=True, pallas=True,
+                             compute_dtype="bfloat16", L=4, de=384, dh=384),
+    "selected_qinco2L": dict(fast=True, pallas=True,
+                             compute_dtype="bfloat16", L=16, de=384, dh=384),
 })
 
 # 240s proved too tight on 2026-08-19: perbin timed out at 240s yet ran

@@ -44,23 +44,30 @@ def main():
     import run_qinco
     from qinco_tpu.search.index import IvfIndex
 
-    if not (d / "index_paired.qivf").exists():
+    def build(out_name, *extra):
+        if (d / out_name).exists():
+            return
         rc = run_qinco.main([
             "task=build_index", f"trainset={d}/train.npy",
             f"ivf_centroids={d}/ivf.npy",
             f"encoded_trainset={d}/codes_train.npz",
             f"encoded_db={d}/codes_db.npz",
-            f"output={d}/index_paired.qivf", "ds.valset=10000",
+            f"output={d}/{out_name}", "ds.valset=10000",
             "model_args=qinco2-S", "search.pair_codes=true", "verbose=true",
+            *extra,
         ])
         assert rc in (0, None)
+
+    build("index_paired.qivf")  # prior-centered backfit (default)
+    build("index_paired_noprior.qivf", "search.pair_prior=false")
 
     xq = np.load(d / "queries.npy")[: args.nq].astype(np.float32)
     gt = np.load(d / "gt.npy")[: args.nq]
 
     report = {"nprobe": args.nprobe, "nshort": args.nshort, "nq": args.nq}
     for tag, path in (("standard", d / "index.qivf"),
-                      ("paired", d / "index_paired.qivf")):
+                      ("paired", d / "index_paired.qivf"),
+                      ("paired_noprior", d / "index_paired_noprior.qivf")):
         index = IvfIndex.load(str(path))
         if index.norm_mode == "resid":
             index.enable_split_lut()

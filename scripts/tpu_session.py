@@ -313,6 +313,20 @@ def main():
                     log(f"kernel_{'perbin' if pb else 'blocked'}_rt{rt}_ms",
                         f"failed: {type(e).__name__}")
 
+    if "rt" in steps:
+        # full-encode row-tile sweep at the production batch (1024):
+        # spec.row_tile overrides the VMEM-budget auto tile in
+        # _beam_step_fused — grid-pipelining depth vs per-tile VMEM.
+        pb = base.with_(perbin=True)
+        for rt in (128, 256, 512):
+            safe(f"perbin_b1024_rt{rt}_vec_per_s",
+                 lambda rt=rt: round(_throughput(
+                     pb.with_(row_tile=rt), batch=1024, n_iter=32), 1))
+        for rt in (256, 512):
+            safe(f"sel_b1024_rt{rt}_vec_per_s",
+                 lambda rt=rt: round(_throughput(
+                     sel.with_(row_tile=rt), batch=1024, n_iter=32), 1))
+
     if "sg" in steps:
         # supergroup block-diagonal fetch variants (see kernel_variants)
         from scripts.kernel_variants import run_perbin, run_sgfetch
