@@ -56,6 +56,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # mse_delta_pct is vs the exact f32 profile on a trained checkpoint,
 # bench_artifacts/trained_mse_2026-08-18.log).
 PROFILES = [
+    # per-bin kernel + fused select/rebuild kernel (select_rebuild_pallas
+    # replaces the XLA beam top_k + selected-beam recompute tail; beam
+    # selection itself is EXACT, so numerics match the perbin rung):
+    # 105.7k vec/s measured (b1024, select_tile 64, v5e 2026-08-20)
+    dict(name="perbin_fsel", pallas=True, mse_delta_pct=0.433,
+         numerics="binned", batch=1024,
+         overrides=dict(fast=True, pallas=True, fused_substep=True,
+                        compute_dtype="bfloat16", perbin=True,
+                        fused_select=True)),
     # per-bin G-hot batched-matmul kernel: 99.4k vec/s measured (b1024)
     dict(name="perbin", pallas=True, mse_delta_pct=0.433, numerics="binned",
          batch=1024,
@@ -66,6 +75,12 @@ PROFILES = [
          batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16")),
+    # exact top-A selection kernel + fused select/rebuild (reference-
+    # parity numerics): 59.4k vec/s measured (b1024, 2026-08-20)
+    dict(name="selected_fsel", pallas=True, mse_delta_pct=0.001,
+         numerics="exact-topA", batch=1024,
+         overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
+                        fused_select=True)),
     # exact top-A selection kernel (reference-parity numerics):
     # 58.0k vec/s measured (b1024)
     dict(name="selected", pallas=True, mse_delta_pct=0.001,

@@ -317,6 +317,7 @@ def _beam_step_fused(
     from ..ops.pallas_kernels import (
         candidate_scores_pallas,
         fused_substep_scores_pallas,
+        select_rebuild_pallas,
         selected_scores_pallas,
     )
 
@@ -332,6 +333,12 @@ def _beam_step_fused(
     # R*A = 8192 under the 16MB scoped-vmem limit; the plain scoring
     # kernel's f32 activations overflow there, so it stays at 4096.
     budget = 8192 if (top_idx is None and sel_vals is None) else 4096
+    if top_idx is not None or sel_vals is not None:
+        # The selected/candidate kernels' f32 activations scale with the
+        # MLP width; 4096 is calibrated at the S shapes (de+dh = 384).
+        # qinco2-M/L (de=dh=384) overflowed the 16MB scoped-vmem limit
+        # by 1.9MB at that budget (KERNEL_SMOKE 2026-08-20).
+        budget = max(1024, budget * 384 // max(384, spec.de + spec.dh))
     row_tile = spec.row_tile or max(
         8, min(512, budget // n_codes, _round_up_pow2(NF))
     )
@@ -339,8 +346,11 @@ def _beam_step_fused(
         pack_ids = True
         # Pass per-vector targets when the beam count divides the row
         # tile (the kernel broadcasts in VMEM); the (NF, D) broadcast
-        # never reaches HBM.
-        beams = F_in if row_tile % F_in == 0 else 1
+        # never reaches HBM.  The per-vector x block has row_tile/beams
+        # rows and must respect the 8-sublane block minimum.
+        beams = (
+            F_in if row_tile % F_in == 0 and row_tile // F_in >= 8 else 1
+        )
         if sel_vals is not None:
             dists_fa = selected_scores_pallas(
                 spec, x if beams > 1 else x_f, xh, sel_vals, p.codebook,
@@ -372,6 +382,23 @@ def _beam_step_fused(
         )  # (NF, A) full squared distances
 
     A_eff = n_codes
+    if spec.fused_select and pack_ids and F_out <= F_in * A_eff:
+        # Selection + rebuild fused on-chip: exact top-F_out extraction
+        # over the packed distances, parent/codeword one-hot gathers and
+        # the rebuild MLP all in VMEM — the XLA top_k + gather/recompute
+        # tail below costs as much as the scoring kernel at production
+        # shapes (bench_artifacts/profile_encode_2026-08-19.log).
+        xhat_next, real, f_in_idx = select_rebuild_pallas(
+            spec, dists_fa.reshape(N, F_in * A_eff), xh, p.codebook,
+            p.in_proj, p.concat_w, p.concat_w2, p.concat_b, p.ffn_up,
+            p.ffn_down, p.out_proj,
+            A_eff=A_eff, F_out=F_out,
+            vec_tile=spec.select_tile or 64,
+            interpret=interpret,
+        )
+        t_mean, t_std = _maybe_target_stats(spec, x, xhat, w, want_stats)
+        return xhat_next, real, f_in_idx, (t_mean, t_std)
+
     dists = dists_fa.reshape(N, F_in * A_eff)
     sel, vals = _beam_topk(spec, dists, F_out)  # (N, F_out)
 

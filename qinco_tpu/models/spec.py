@@ -69,6 +69,19 @@ class QincoSpec:
     # for hardware tile sweeps — throughput is tile-sensitive via
     # grid-pipelining depth vs per-tile VMEM.
     row_tile: int = 0
+    # Fuse the beam top-B selection + selected-beam reconstruction
+    # rebuild into a second Pallas kernel (ops/pallas_kernels.py:
+    # select_rebuild_pallas) instead of XLA top_k + gather/recompute —
+    # the two XLA ops cost as much as the scoring kernel itself at
+    # production shapes.  Selection stays EXACT (stable ascending,
+    # lax.top_k tie semantics); composes with every packed-id scoring
+    # route (selected / fused / perbin / candidate).  Requires pallas
+    # and K <= 256.
+    fused_select: bool = False
+    # Vectors per select_rebuild grid tile (0 = auto: 64, the measured
+    # optimum at QINCo2-S shapes — 105.7k vec/s vs 105.3k @32, 101.5k
+    # @128, 95.4k @16; v5e sweep 2026-08-20).
+    select_tile: int = 0
     # NB: a former `bf16_acc` knob (bf16 MXU accumulators in the fused
     # kernel) was removed after hardware validation: Mosaic rejects
     # non-32-bit matmul accumulators ("'tpu.matmul' op Expected matmul

@@ -934,3 +934,231 @@ def candidate_scores_pallas(
         interpret=interpret,
     )(*live_ops)
     return dists[:NF]
+
+
+def _select_rebuild_kernel(
+    spec: QincoSpec,
+    A_eff: int,  # candidates per beam (position = f * A_eff + a)
+    F_in: int,  # beams per vector in xh
+    F_out: int,  # beams to select (ascending by distance)
+    d_ref,  # (Vt, F_in*A_eff) packed candidate distances
+    xh_ref,  # (Vt*F_in, D) f32 current reconstructions
+    codebook_ref,  # (K, D) f32
+    in_proj_ref,
+    concat_w_ref,
+    concat_w2_ref,
+    concat_b_ref,
+    ffn_up_ref,
+    ffn_down_ref,
+    out_proj_ref,
+    xhat_ref,  # (F_out*Vt, D) f32 out — j-major (selection-rank-major)
+    codes_ref,  # (F_out, Vt) i32 out
+    par_ref,  # (F_out, Vt) i32 out
+):
+    """Beam selection + reconstruction rebuild, fused on-chip.
+
+    Replaces the XLA tail of every Pallas beam step — `lax.top_k` over
+    the (N, F·A) distances plus the selected-beam gather/recompute
+    (reference semantics: qinco_inference.py:195-210) — which together
+    cost as much as the scoring kernel itself at production shapes
+    (bench_artifacts/profile_encode_2026-08-19.log: topk 5.35 + recompute
+    5.22 vs kernel 9.82 ms/step at batch 4096).
+
+    Selection is an exact iterative extraction: F_out rounds of
+    (min, first-argmin, mask) over the packed distance tile — ties break
+    by position exactly like `lax.top_k` (stable ascending).  The
+    selected candidates' codebook ids ride the packed low mantissa bits
+    (`_pack_ids_f32`), the parent beam is position // A_eff, and both
+    gathers (parent reconstruction rows, codeword rows) run as exact
+    f32 one-hot matmuls on the MXU — a selection of already-materialized
+    f32 rows, so the rebuild matches the XLA recompute's numerics.
+
+    Mosaic has no lane->sublane reshapes, so per-extraction (Vt, 1)
+    columns concatenate along *sublanes*, making every stacked buffer
+    j-major (selection rank j varies slowest).  The wrapper transposes
+    the tile outputs back to vector-major outside the kernel (one cheap
+    XLA relayout per step).
+    """
+    Vt, C = d_ref.shape
+    dt = jnp.dtype(spec.compute_dtype)
+
+    d = d_ref[:]
+    # Mosaic's tpu.iota is integer-only; cast for the positional min.
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (Vt, C), 1).astype(
+        jnp.float32
+    )
+    INF = jnp.float32(jnp.inf)
+    lane_nf = jax.lax.broadcasted_iota(jnp.int32, (Vt, Vt * F_in), 1)
+    vbase = jax.lax.broadcasted_iota(jnp.int32, (Vt, 1), 0) * F_in
+    K = codebook_ref.shape[0]
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (Vt, K), 1)
+
+    oh_rows, oh_cands, code_cols, par_cols = [], [], [], []
+    for _ in range(F_out):
+        m = jnp.min(d, axis=1, keepdims=True)  # (Vt, 1)
+        # first position attaining the min (exact: pos < 2^24 in f32)
+        p = jnp.min(jnp.where(d == m, pos_iota, INF), axis=1, keepdims=True)
+        d = jnp.where(pos_iota == p, INF, d)  # remove exactly one entry
+        pi = p.astype(jnp.int32)
+        f = pi // A_eff  # parent beam (Vt, 1)
+        code = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(m, jnp.int32), jnp.int32(0xFF)
+        )
+        oh_rows.append((lane_nf == vbase + f).astype(jnp.float32))
+        oh_cands.append((lane_k == code).astype(jnp.float32))
+        code_cols.append(code.T)  # (1, Vt)
+        par_cols.append(f.T)
+
+    # Exact f32 one-hot gathers on the MXU (one term per output row).
+    oh_xh = jnp.concatenate(oh_rows, axis=0)  # (F_out*Vt, Vt*F_in)
+    oh_cd = jnp.concatenate(oh_cands, axis=0)  # (F_out*Vt, K)
+    xh_sel = jnp.dot(
+        oh_xh, xh_ref[:], preferred_element_type=jnp.float32
+    )  # (F_out*Vt, D) f32, exact row selection
+    cand = jnp.dot(
+        oh_cd, codebook_ref[:], preferred_element_type=jnp.float32
+    )  # (F_out*Vt, D) f32
+
+    xhat_ref[:] = _mlp_chain(
+        spec, cand, xh_sel, in_proj_ref, concat_w_ref, concat_w2_ref,
+        concat_b_ref, ffn_up_ref, ffn_down_ref, out_proj_ref,
+    )
+    codes_ref[:] = jnp.concatenate(code_cols, axis=0)  # (F_out, Vt)
+    par_ref[:] = jnp.concatenate(par_cols, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "A_eff", "F_out", "vec_tile", "interpret"),
+)
+def select_rebuild_pallas(
+    spec: QincoSpec,
+    dists: jnp.ndarray,  # (N, F_in*A_eff) packed f32 (ids in low 8 bits)
+    xh: jnp.ndarray,  # (N*F_in, D) f32
+    codebook: jnp.ndarray,  # (K, D) f32
+    in_proj,
+    concat_w,
+    concat_w2,
+    concat_b,
+    ffn_up,
+    ffn_down,
+    out_proj,
+    A_eff: int,
+    F_out: int,
+    vec_tile: int = 32,
+    interpret: bool = False,
+):
+    """Exact beam top-F_out + reconstruction rebuild in one kernel.
+
+    Returns ``(xhat_next (N, F_out, D) f32, codes (N, F_out) i32,
+    parents (N, F_out) i32)`` with beams sorted ascending by distance —
+    the `_beam_step` contract.  Requires K <= 256 (packed ids) and
+    F_out <= F_in*A_eff."""
+    N, C = dists.shape
+    F_in = C // A_eff
+    D = xh.shape[1]
+    if F_out > C:
+        raise ValueError("F_out must be <= F_in*A_eff")
+    pad = _round_up(N, vec_tile) - N
+    if pad:
+        # padded vectors select inf everywhere -> code 0 / parent 0 rows,
+        # discarded by the slice below
+        dists = jnp.pad(dists, ((0, pad), (0, 0)),
+                        constant_values=float("inf"))
+        xh = jnp.pad(xh, ((0, pad * F_in), (0, 0)))
+    n_tiles = (N + pad) // vec_tile
+
+    dt = jnp.dtype(spec.compute_dtype)
+    # The MLP rounds its weights to the compute dtype (see _mlp_chain);
+    # pre-cast outside.  The codebook and xh stay f32: the one-hot
+    # gathers are exact row selections feeding the same f32 inputs the
+    # XLA recompute path sees.
+    if in_proj is not None:
+        in_proj = in_proj.astype(dt)
+    concat_w = concat_w.astype(dt)
+    if concat_w2 is not None:
+        concat_w2 = concat_w2.astype(dt)
+    ffn_up = ffn_up.astype(dt)
+    ffn_down = ffn_down.astype(dt)
+    if out_proj is not None:
+        out_proj = out_proj.astype(dt)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+
+    operands = [dists, xh, codebook, in_proj, concat_w, concat_w2,
+                concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
+    in_specs = [
+        pl.BlockSpec((vec_tile, C), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((vec_tile * F_in, D), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        full(codebook),
+        None if in_proj is None else full(in_proj),
+        full(concat_w),
+        None if concat_w2 is None else full(concat_w2),
+        full(concat_b.reshape(1, -1)),
+        full(ffn_up),
+        full(ffn_down),
+        None if out_proj is None else full(out_proj),
+    ]
+    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
+    has_in = in_proj is not None
+    has_w2 = concat_w2 is not None
+    has_out = out_proj is not None
+
+    def kernel_dispatch(*refs):
+        it = iter(refs[: -3])
+        d_r = next(it)
+        xh_r = next(it)
+        cb_r = next(it)
+        ip_r = next(it) if has_in else None
+        cw_r = next(it)
+        cw2_r = next(it) if has_w2 else None
+        cb2_r = next(it)
+        fu_r = next(it)
+        fd_r = next(it)
+        op_r = next(it) if has_out else None
+        _select_rebuild_kernel(
+            spec, A_eff, F_in, F_out, d_r, xh_r, cb_r, ip_r, cw_r, cw2_r,
+            cb2_r, fu_r, fd_r, op_r, refs[-3], refs[-2], refs[-1],
+        )
+
+    xhat_j, codes_j, par_j = pl.pallas_call(
+        kernel_dispatch,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * F_out * vec_tile, D),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * F_out, vec_tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * F_out, vec_tile), jnp.int32),
+        ],
+        grid=(n_tiles,),
+        in_specs=[s for _, s in live],
+        out_specs=[
+            pl.BlockSpec((F_out * vec_tile, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_out, vec_tile), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_out, vec_tile), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(*[o for o, _ in live])
+
+    # j-major tile outputs -> vector-major (one XLA relayout per step)
+    xhat_next = (
+        xhat_j.reshape(n_tiles, F_out, vec_tile, D)
+        .transpose(0, 2, 1, 3)
+        .reshape(N + pad, F_out, D)[:N]
+    )
+    codes = (
+        codes_j.reshape(n_tiles, F_out, vec_tile)
+        .transpose(0, 2, 1)
+        .reshape(N + pad, F_out)[:N]
+    )
+    parents = (
+        par_j.reshape(n_tiles, F_out, vec_tile)
+        .transpose(0, 2, 1)
+        .reshape(N + pad, F_out)[:N]
+    )
+    return xhat_next, codes, parents

@@ -52,6 +52,8 @@ VARIANTS.update({
                              compute_dtype="bfloat16", L=4, de=384, dh=384),
     "selected_qinco2L": dict(fast=True, pallas=True,
                              compute_dtype="bfloat16", L=16, de=384, dh=384),
+    # (the fused select+rebuild variants perbin_fsel / selected_fsel are
+    # bench-ladder rungs and arrive via bench.PROFILES above)
 })
 
 # 240s proved too tight on 2026-08-19: perbin timed out at 240s yet ran

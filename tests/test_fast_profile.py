@@ -238,3 +238,55 @@ def test_no_bf16_accumulator_knob():
     import dataclasses
 
     assert "bf16_acc" not in {f.name for f in dataclasses.fields(QincoSpec)}
+
+
+def test_fused_select_matches_xla_selection_exactly():
+    """spec.fused_select routes the beam top-B + rebuild through
+    select_rebuild_pallas (interpret mode on CPU).  Selection is exact
+    with lax.top_k tie semantics, and the rebuild gathers the same f32
+    rows the XLA recompute reads — codes must match bit-for-bit and
+    reconstructions to float tolerance, for every packed-id scoring
+    route."""
+    base = QincoSpec(D=32, K=64, M=4, L=2, de=32, dh=64, A=8, B=8)
+    routes = {
+        "selected": base.with_(pallas=True),
+        "fused": base.with_(pallas=True, fast=True, fused_substep=True),
+        "perbin": base.with_(pallas=True, fast=True, fused_substep=True,
+                             perbin=True),
+        "lowrank_idx": base.with_(pallas=True, concat_rank=16),
+    }
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(70, base.D)).astype(np.float32)
+    )
+    for name, spec in routes.items():
+        params = init_params(jax.random.PRNGKey(0), spec)
+        codes_r, xhat_r, _ = encode(params, spec, x)
+        codes_s, xhat_s, _ = encode(
+            params, spec.with_(fused_select=True, select_tile=16), x
+        )
+        assert (np.asarray(codes_r) == np.asarray(codes_s)).all(), name
+        np.testing.assert_allclose(
+            np.asarray(xhat_r), np.asarray(xhat_s), rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_fused_select_ivf_first_step():
+    """IVF mode enters the first MLP step at beam 1 with n_codes =
+    max(B, A) == B: the select kernel's F_out == F_in*A_eff edge (full
+    sort of all candidates)."""
+    spec = QincoSpec(D=16, K=32, M=3, L=1, de=12, dh=24, A=4, B=8, ivf_K=64,
+                     pallas=True, fused_select=True, select_tile=8)
+    params = init_params(jax.random.PRNGKey(2), spec)
+    params = params._replace(
+        codebook0=jax.random.normal(jax.random.PRNGKey(3), (64, 16))
+    )
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(33, spec.D)).astype(np.float32)
+    )
+    codes_r, xhat_r, _ = encode(params, spec.with_(fused_select=False), x)
+    codes_s, xhat_s, _ = encode(params, spec, x)
+    assert (np.asarray(codes_r) == np.asarray(codes_s)).all()
+    np.testing.assert_allclose(
+        np.asarray(xhat_r), np.asarray(xhat_s), rtol=1e-5, atol=1e-6
+    )
