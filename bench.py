@@ -54,7 +54,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Profile ladder, ordered measured-good-first (every rung's throughput is
 # a real-v5e measurement from bench_artifacts/tpu_session_2026-08-18.json;
 # mse_delta_pct is vs the exact f32 profile on a trained checkpoint,
-# bench_artifacts/trained_mse_2026-08-18.log).
+# bench_artifacts/trained_mse_2026-08-18.log).  The binned-selection
+# delta depends on the checkpoint's training state: +0.433% on the
+# 2026-08-18 10M-run checkpoint, +0.073% on the longer-trained
+# 2026-08-20 regeneration (trained_mse_2026-08-20.log) — the ladder
+# carries the conservative (worst-observed) figure.
 PROFILES = [
     # per-bin kernel + fused select/rebuild kernel (select_rebuild_pallas
     # replaces the XLA beam top_k + selected-beam recompute tail; beam

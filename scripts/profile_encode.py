@@ -159,6 +159,45 @@ def main():
     print(f"residual (step0 argmin + first step + backtrace + glue): "
           f"{resid * 1e3:.1f} ms")
 
+    # --- fused select+rebuild kernel alone (replaces topk + recompute) ---
+    from qinco_tpu.ops.pallas_kernels import select_rebuild_pallas
+
+    pk_bufs = [
+        jnp.asarray(
+            rng.normal(size=(N, B * A)).astype(np.float32) ** 2
+            + rng.integers(0, spec.K, size=(N, B * A)).astype(np.float32)
+            * 1e-7  # packed-id-ish low bits; values stay pairwise distinct
+        )
+        for _ in range(n_bufs)
+    ]
+
+    @jax.jit
+    def fsel(d):
+        xh_n, real, par = select_rebuild_pallas(
+            spec, d, xh_bufs[0], p.codebook, p.in_proj, p.concat_w,
+            p.concat_w2, p.concat_b, p.ffn_up, p.ffn_down, p.out_proj,
+            A_eff=A, F_out=B, vec_tile=spec.select_tile or 64,
+        )
+        return xh_n.sum() + real.sum()
+
+    t_f = timeit(fsel, pk_bufs, args.iters)
+    print(f"fsel      : {t_f * 1e3:8.2f} ms/step  (x{spec.M - 1}; replaces "
+          f"topk {t_t * 1e3:.2f} + recompute {t_r * 1e3:.2f})", flush=True)
+
+    # --- one full beam step with fused_select ---
+    spec_fs = spec.with_(fused_select=True)
+
+    @jax.jit
+    def stepx_fs(xhat):
+        xh_n, real, par, _ = _beam_step_fused(
+            spec_fs, p, xs[0], xhat, B, A, None, want_stats=False
+        )
+        return xh_n.sum() + real.sum()
+
+    t_sf = timeit(stepx_fs, xhat_bufs, args.iters)
+    print(f"stepx_fsel: {t_sf * 1e3:8.2f} ms/step  (x{spec.M - 1} = "
+          f"{t_sf * (spec.M - 1) * 1e3:.1f} ms)", flush=True)
+
     flop_mlp = 2 * NF * A * (D * spec.de / A  # fetch amortized: G-wide
                              + spec.de * D    # out_proj
                              + spec.L * 2 * spec.de * spec.dh)

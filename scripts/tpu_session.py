@@ -178,7 +178,9 @@ def main():
         for tag, sp in (("exact", base.with_(
                 fast=False, pallas=False, fused_substep=False,
                 compute_dtype="float32")),
-                        ("fused", base), ("perbin", base.with_(perbin=True))):
+                        ("fused", base), ("perbin", base.with_(perbin=True)),
+                        ("perbin_fsel",
+                         base.with_(perbin=True, fused_select=True))):
             try:
                 params = init_params(jax.random.PRNGKey(0), sp)
                 mstate = init_model_state(sp)

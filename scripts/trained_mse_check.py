@@ -73,6 +73,14 @@ def main():
         ("fused+perbin       ", exact.with_(
             fast=True, pallas=True, fused_substep=True, perbin=True,
             compute_dtype="bfloat16")),
+        # fused select+rebuild on top: beam selection is exact, so each
+        # should match its underlying scoring route's delta
+        ("selected_fsel      ", exact.with_(
+            fast=True, pallas=True, compute_dtype="bfloat16",
+            fused_select=True)),
+        ("perbin_fsel        ", exact.with_(
+            fast=True, pallas=True, fused_substep=True, perbin=True,
+            compute_dtype="bfloat16", fused_select=True)),
     ]:
         try:
             m = mse(sp)
