@@ -76,7 +76,8 @@ class QincoSpec:
     # production shapes.  Selection stays EXACT (stable ascending,
     # lax.top_k tie semantics); composes with every packed-id scoring
     # route (selected / fused / perbin / candidate).  Requires pallas
-    # and K <= 256.
+    # and K <= 256.  Takes precedence over `approx_beam` (exact
+    # selection at no extra cost makes the approximation moot).
     fused_select: bool = False
     # Vectors per select_rebuild grid tile (0 = auto: 64, the measured
     # optimum at QINCo2-S shapes — 105.7k vec/s vs 105.3k @32, 101.5k
