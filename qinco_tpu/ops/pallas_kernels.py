@@ -594,7 +594,8 @@ def _selected_scores_kernel(
     beams: int,  # beam rows per vector
     x_ref,  # (R/beams, D) per-vector targets
     xh_ref,  # (R, D)
-    vals_ref,  # (A, R) packed pre-selection values (ids in low 8 bits)
+    vals_ref,  # (A, R) packed pre-selection values | None (in-kernel topA)
+    sub_codebook_ref,  # (K, D) substep codebook | None (external selection)
     table_ref,  # (K, D + De) folded table [C | C·P·(I+W1)]
     w2_ref,  # (D, De) condition half of the concat weight
     concat_b_ref,  # (1, De)
@@ -625,6 +626,19 @@ def _selected_scores_kernel(
 
     (``fold_up`` does not pay here: widening the fetch table multiplies
     the full-K contraction, unlike the G-wide binned fetch.)
+
+    With ``sub_codebook_ref`` (spec.fused_topa), the pre-selection itself
+    moves in-kernel: substep partial distances come off the MXU as
+    (K, R) — codeword index on the sublane axis — ids ride the packed
+    low mantissa bits, and an EXACT top-A extracts iteratively: A rounds
+    of (sublane-min, mask-the-winner) over the tile, ascending.  Packed
+    ids make per-column values pairwise distinct, so each round removes
+    exactly one entry and tie-break order matches ``topk_smallest`` over
+    the same packed distances.  This deletes the XLA tail the external
+    path pays per step — the (NF, K) HBM round-trip plus
+    ``lax.top_k``/``approx_max_k`` — and upgrades the selected rungs'
+    numerics from approx-topA (fast profile) to exact-topA
+    (reference semantics: qinco_base.py:114-121).
     """
     R = xh_ref.shape[0]
     K = table_ref.shape[0]
@@ -637,7 +651,27 @@ def _selected_scores_kernel(
     ).reshape(R, D)
     xh = xh_ref[:].astype(jnp.float32)
 
-    vals = vals_ref[:]  # (A, R) packed
+    if sub_codebook_ref is not None:
+        # ---- in-kernel exact substep top-A ------------------------------
+        r = xv - xh  # residual target (R, D)
+        C = sub_codebook_ref[:]
+        cn2 = jnp.sum(C * C, axis=1)[:, None]  # (K, 1)
+        d_sub = cn2 - 2.0 * jax.lax.dot_general(
+            C.astype(dt), r.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, R) partial: ranking-equivalent to true sqdist per row
+        rowk = jax.lax.broadcasted_iota(jnp.int32, (K, R), dimension=0)
+        cur = _pack_ids_f32(d_sub, rowk)
+        INF = jnp.float32(jnp.inf)
+        rows = []
+        for _ in range(A):
+            m = jnp.min(cur, axis=0, keepdims=True)  # (1, R)
+            rows.append(m)
+            # fused mask+carry: exactly one entry removed per round
+            cur = jnp.where(cur == m, INF, cur)
+        vals = jnp.concatenate(rows, axis=0)  # (A, R) packed, ascending
+    else:
+        vals = vals_ref[:]  # (A, R) packed
     ids = jnp.bitwise_and(
         jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
     )  # (A, R)
@@ -704,7 +738,7 @@ def selected_scores_pallas(
     spec: QincoSpec,
     x: jnp.ndarray,  # (NF/beams, D) per-vector targets
     xh: jnp.ndarray,  # (NF, D)
-    vals: jnp.ndarray,  # (A, NF) packed pre-selection values
+    vals,  # (A, NF) packed pre-selection values | None (in-kernel topA)
     codebook: jnp.ndarray,  # (K, D)
     in_proj,
     concat_w,
@@ -716,21 +750,26 @@ def selected_scores_pallas(
     beams: int = 1,
     row_tile: int = 256,
     interpret: bool = False,
+    sub_codebook=None,  # (K, D) -> compute the exact top-A in-kernel
 ) -> jnp.ndarray:
     """Exact-top-A candidate scoring with the fused concat table.
 
     ``vals`` holds the externally selected candidates' packed partial
     distances (codebook id in the low 8 mantissa bits, see
     ``_pack_ids_f32``) — the only selection data the kernel needs.
-    Returns (NF, n_codes) full squared distances, ids packed in the low
-    bits.  Requires K <= 256 and no low-rank concat factor (the folded
-    table absorbs W1; callers fall back to ``candidate_scores_pallas``
-    otherwise)."""
+    Alternatively pass ``vals=None`` with ``sub_codebook`` to run the
+    exact top-A extraction in-kernel (spec.fused_topa): no (NF, K)
+    distance matrix or XLA top_k at all.  Returns (NF, n_codes) full
+    squared distances, ids packed in the low bits.  Requires K <= 256
+    and no low-rank concat factor (the folded table absorbs W1; callers
+    fall back to ``candidate_scores_pallas`` otherwise)."""
     NF, D = xh.shape
     K = codebook.shape[0]
     A = n_codes
     if K > 256:
         raise ValueError("selected_scores_pallas requires K <= 256")
+    if (vals is None) == (sub_codebook is None):
+        raise ValueError("pass exactly one of vals / sub_codebook")
     if row_tile % beams or x.shape[0] * beams != NF:
         raise ValueError("beams must divide row_tile and x rows * beams == NF")
     pad = _round_up(NF, row_tile) - NF
@@ -739,7 +778,8 @@ def selected_scores_pallas(
         xh = jnp.pad(xh, ((0, pad), (0, 0)))
         # Padded lanes are zero: the all-ones equality mask they produce
         # feeds rows that are sliced off below.
-        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        if vals is not None:
+            vals = jnp.pad(vals, ((0, 0), (0, pad)))
     n_tiles = (NF + pad) // row_tile
 
     # Folded concat table [C | C·P·(I+W1)] (see _fused_substep_kernel):
@@ -774,12 +814,13 @@ def selected_scores_pallas(
         (A, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
-    operands = [x, xh, vals, table, w2, concat_b.reshape(1, -1),
-                ffn_up, ffn_down, out_proj]
+    operands = [x, xh, vals, sub_codebook, table, w2,
+                concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
     in_specs = [
         row_spec(D, row_tile // beams),
         row_spec(D),
-        vals_spec,
+        None if vals is None else vals_spec,
+        None if sub_codebook is None else full(sub_codebook),
         full(table),
         full(w2),
         full(concat_b.reshape(1, -1)),
@@ -789,12 +830,15 @@ def selected_scores_pallas(
     ]
     live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
     has_out = out_proj is not None
+    has_vals = vals is not None
+    has_sub = sub_codebook is not None
 
     def kernel_dispatch(*refs):
         it = iter(refs[:-1])
         x_r = next(it)
         xh_r = next(it)
-        v_r = next(it)
+        v_r = next(it) if has_vals else None
+        sc_r = next(it) if has_sub else None
         tab_r = next(it)
         w2_r = next(it)
         cb_r = next(it)
@@ -802,8 +846,8 @@ def selected_scores_pallas(
         fd_r = next(it)
         op_r = next(it) if has_out else None
         _selected_scores_kernel(
-            spec, A, beams, x_r, xh_r, v_r, tab_r, w2_r, cb_r, fu_r, fd_r,
-            op_r, refs[-1],
+            spec, A, beams, x_r, xh_r, v_r, sc_r, tab_r, w2_r, cb_r,
+            fu_r, fd_r, op_r, refs[-1],
         )
 
     dists = pl.pallas_call(
@@ -1045,7 +1089,7 @@ def select_rebuild_pallas(
     out_proj,
     A_eff: int,
     F_out: int,
-    vec_tile: int = 32,
+    vec_tile: int = 0,
     interpret: bool = False,
 ):
     """Exact beam top-F_out + reconstruction rebuild in one kernel.
@@ -1053,12 +1097,38 @@ def select_rebuild_pallas(
     Returns ``(xhat_next (N, F_out, D) f32, codes (N, F_out) i32,
     parents (N, F_out) i32)`` with beams sorted ascending by distance —
     the `_beam_step` contract.  Requires K <= 256 (packed ids) and
-    F_out <= F_in*A_eff."""
+    F_out <= F_in*A_eff.  ``vec_tile=0`` auto-sizes the vector tile
+    from the VMEM budget (64 at QINCo2-S shapes, halved as F_out*F_in
+    grows)."""
     N, C = dists.shape
     F_in = C // A_eff
     D = xh.shape[1]
     if F_out > C:
         raise ValueError("F_out must be <= F_in*A_eff")
+    # VMEM guard: the one-hot parent-gather matrix oh_xh is
+    # (F_out*Vt, Vt*F_in) f32 — quadratic in the vector tile — and has no
+    # grid dimension to pipeline over.  The measured-optimal default
+    # (Vt=64 at F_out=F_in=32 -> 16.8 MB) is calibrated near the scoped-
+    # VMEM ceiling, so larger B/F_out/select_tile values would otherwise
+    # die with an opaque Mosaic allocation failure (round-4 advisor
+    # finding).  vec_tile=0 auto-sizes from that budget; an explicit
+    # tile that exceeds it raises with the math spelled out.
+    OH_BUDGET_BYTES = 17 << 20
+    if vec_tile == 0:
+        vt = 64
+        while vt > 8 and 4 * F_out * F_in * vt * vt > OH_BUDGET_BYTES:
+            vt //= 2
+        vec_tile = vt
+    else:
+        oh_bytes = 4 * F_out * F_in * vec_tile * vec_tile
+        if oh_bytes > OH_BUDGET_BYTES:
+            raise ValueError(
+                f"select_rebuild_pallas: one-hot gather matrix "
+                f"(F_out*Vt, Vt*F_in) f32 = {oh_bytes / 2**20:.1f} MB "
+                f"exceeds the {OH_BUDGET_BYTES >> 20} MB VMEM budget at "
+                f"vec_tile={vec_tile}, F_out={F_out}, F_in={F_in}; pass "
+                f"select_tile=0 to auto-size or choose a smaller tile"
+            )
     pad = _round_up(N, vec_tile) - N
     if pad:
         # padded vectors select inf everywhere -> code 0 / parent 0 rows,

@@ -290,3 +290,42 @@ def test_fused_select_ivf_first_step():
     np.testing.assert_allclose(
         np.asarray(xhat_r), np.asarray(xhat_s), rtol=1e-5, atol=1e-6
     )
+
+
+def test_fused_topa_in_kernel_matches_external_exact_topk():
+    """spec.fused_topa moves the substep top-A INTO the selected-scores
+    kernel (exact iterative extraction over the on-chip (K, R) packed
+    distance tile).  At f32 on CPU it must match the external
+    exact-top_k route (fused_topa=False, fast=False) bit-for-bit —
+    both rank the same packed partial distances with the same tie
+    semantics."""
+    base = QincoSpec(D=32, K=64, M=4, L=2, de=32, dh=64, A=8, B=8,
+                     pallas=True)
+    params = init_params(jax.random.PRNGKey(3), base)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(70, base.D)).astype(np.float32)
+    )
+    codes_ext, xhat_ext, _ = encode(params, base.with_(fused_topa=False), x)
+    codes_ink, xhat_ink, _ = encode(params, base, x)
+    assert (np.asarray(codes_ext) == np.asarray(codes_ink)).all()
+    np.testing.assert_allclose(
+        np.asarray(xhat_ext), np.asarray(xhat_ink), rtol=1e-5, atol=1e-6
+    )
+    # composes with the fused select/rebuild kernel and with IVF mode
+    codes_fs, xhat_fs, _ = encode(
+        params, base.with_(fused_select=True, select_tile=16), x
+    )
+    assert (np.asarray(codes_ext) == np.asarray(codes_fs)).all()
+
+    ivf = QincoSpec(D=16, K=32, M=3, L=1, de=12, dh=24, A=4, B=8, ivf_K=64,
+                    pallas=True)
+    p_ivf = init_params(jax.random.PRNGKey(4), ivf)
+    p_ivf = p_ivf._replace(
+        codebook0=jax.random.normal(jax.random.PRNGKey(5), (64, 16))
+    )
+    xi = jnp.asarray(
+        np.random.default_rng(12).normal(size=(33, ivf.D)).astype(np.float32)
+    )
+    codes_i0, _, _ = encode(p_ivf, ivf.with_(fused_topa=False), xi)
+    codes_i1, _, _ = encode(p_ivf, ivf, xi)
+    assert (np.asarray(codes_i0) == np.asarray(codes_i1)).all()
