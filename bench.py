@@ -89,21 +89,36 @@ PROFILES = [
          batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16")),
-    # exact top-A selection + fused select/rebuild (reference-parity
-    # numerics).  Round 5: the substep top-A now runs IN-KERNEL
-    # (spec.fused_topa, exact iterative extraction) — the XLA
-    # (NF, K)-round-trip + approx_max_k tail this rung used to pay (and
-    # which made its "exact" label approximate on TPU, VERDICT r4 weak
-    # #2) is gone.  Pre-round-5 measurement of the old path: 59.4k.
-    dict(name="selected_fsel", pallas=True, mse_delta_pct=0.001,
+    # Round-5 kernels: substep top-A IN-KERNEL (spec.fused_topa — exact
+    # iterative extraction over the on-chip (K, R) packed-distance
+    # tile).  Deletes the XLA (NF, K) HBM round-trip + top_k tail the
+    # selected rungs paid, AND upgrades their numerics: the old rungs'
+    # fast profile used approx_max_k, so their "exact-topA" label was
+    # approximate on TPU (VERDICT r4 weak #2); here selection is exact
+    # by construction.  Unproven on hardware until the round-5 smoke —
+    # the ladder demotes them automatically if the probe fails.
+    dict(name="ktopa_fsel", pallas=True, mse_delta_pct=None,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
-                        fused_select=True)),
-    # exact top-A selection kernel (reference-parity numerics):
-    # 58.0k vec/s measured (b1024) with the old external-top_k path
-    dict(name="selected", pallas=True, mse_delta_pct=0.001,
+                        fused_topa=True, fused_select=True)),
+    dict(name="ktopa", pallas=True, mse_delta_pct=None,
          numerics="exact-topA", batch=1024,
-         overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16")),
+         overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
+                        fused_topa=True)),
+    # exact top-A selection + fused select/rebuild, external top-A via
+    # XLA approx_max_k under fast=True: 59.4k vec/s measured (b1024,
+    # 2026-08-20).  approx-topA numerics on TPU (approx_max_k recall
+    # ~0.95; CPU lowers it to exact top-k — VERDICT r4 weak #2), so no
+    # parity claim until a TPU-measured delta exists.
+    dict(name="selected_fsel", pallas=True, mse_delta_pct=None,
+         numerics="approx-topA", batch=1024,
+         overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
+                        fused_topa=False, fused_select=True)),
+    # external-top-A selection kernel: 58.0k vec/s measured (b1024)
+    dict(name="selected", pallas=True, mse_delta_pct=None,
+         numerics="approx-topA", batch=1024,
+         overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
+                        fused_topa=False)),
     # fused without the folded-up table (narrower VMEM footprint)
     dict(name="fused_nofold", pallas=True, mse_delta_pct=0.433,
          numerics="binned", batch=1024,
@@ -116,9 +131,14 @@ PROFILES = [
     dict(name="xla_fast", pallas=False, mse_delta_pct=None,
          numerics="approx-topA", batch=1024,
          overrides=dict(fast=True, compute_dtype="bfloat16")),
-    # exact f32 — the MSE-delta reference point itself
+    # exact f32 — the MSE-delta reference point itself.  HIGHEST-
+    # precision matmuls are ~6-pass-emulated on TPU and the gather-based
+    # candidate path is slow, so the rung times a reduced vector count
+    # (throughput is not its job; completing inside the smoke/bench
+    # budget is — it blew the 420s budget at 32768 vectors, VERDICT r4
+    # weak #3).
     dict(name="exact", pallas=False, mse_delta_pct=0.0, numerics="exact",
-         batch=1024,
+         batch=1024, n_total=4096,
          overrides=dict()),
 ]
 # Numerics classes considered reference-parity for reporting purposes
@@ -150,7 +170,8 @@ os.environ.setdefault(
     os.path.expanduser("~/.jax_cache"))
 
 
-def measure_profile(overrides: dict, batch: int = 4096) -> float:
+def measure_profile(overrides: dict, batch: int = 4096,
+                    n_total: int = 32768):
     """Child mode: compile + time one profile, return vec/s.
 
     ``batch`` is per-profile (measured-best): the per-bin kernel peaks
@@ -173,7 +194,7 @@ def measure_profile(overrides: dict, batch: int = 4096) -> float:
     kw.update(overrides)
     spec = QincoSpec(**kw)
     params = init_params(jax.random.PRNGKey(0), spec)
-    n_iter = max(1, 32768 // batch)
+    n_iter = max(1, n_total // batch)
 
     # One dispatch runs all batches (scan) and reduces to a scalar that
     # we materialize on the host: on the remote-TPU transport,
@@ -229,9 +250,12 @@ def _write_run_log():
         os.makedirs(art, exist_ok=True)
         with open(os.path.join(art, "bench_last_run.json"), "w") as f:
             json.dump(RUN_LOG, f, indent=1)
+        outage_path = os.path.join(here, "BENCH_OUTAGE.json")
         if RUN_LOG["outcome"] and RUN_LOG["outcome"].startswith("outage"):
-            with open(os.path.join(here, "BENCH_OUTAGE.json"), "w") as f:
+            with open(outage_path, "w") as f:
                 json.dump(RUN_LOG, f, indent=1)
+        elif os.path.exists(outage_path):
+            os.remove(outage_path)  # stale sidecar from an earlier outage
     except OSError:
         pass
 
@@ -320,7 +344,8 @@ def main():
     if args.profile is not None:
         prof = by_name[args.profile]
         vps, compile_s = measure_profile(prof["overrides"],
-                                         batch=prof.get("batch", 4096))
+                                         batch=prof.get("batch", 4096),
+                                         n_total=prof.get("n_total", 32768))
         print(json.dumps({"vec_per_s": round(vps, 1),
                           "compile_s": round(compile_s, 1)}), flush=True)
         return

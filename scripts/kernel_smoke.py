@@ -48,10 +48,15 @@ VARIANTS.update({
     "perbin_qinco2L": dict(fast=True, pallas=True, fused_substep=True,
                            perbin=True, compute_dtype="bfloat16",
                            L=16, de=384, dh=384),
-    "selected_qinco2M": dict(fast=True, pallas=True,
+    "selected_qinco2M": dict(fast=True, pallas=True, fused_topa=False,
                              compute_dtype="bfloat16", L=4, de=384, dh=384),
-    "selected_qinco2L": dict(fast=True, pallas=True,
+    "selected_qinco2L": dict(fast=True, pallas=True, fused_topa=False,
                              compute_dtype="bfloat16", L=16, de=384, dh=384),
+    # Round-5 in-kernel exact top-A at the M/L preset shapes
+    "ktopa_qinco2M": dict(fast=True, pallas=True, fused_topa=True,
+                          compute_dtype="bfloat16", L=4, de=384, dh=384),
+    "ktopa_qinco2L": dict(fast=True, pallas=True, fused_topa=True,
+                          compute_dtype="bfloat16", L=16, de=384, dh=384),
     # (the fused select+rebuild variants perbin_fsel / selected_fsel are
     # bench-ladder rungs and arrive via bench.PROFILES above)
 })
@@ -75,9 +80,13 @@ def main():
 
     if args.one is not None:
         batches = {p["name"]: p.get("batch", 4096) for p in bench.PROFILES}
-        vps = bench.measure_profile(VARIANTS[args.one],
-                                    batch=batches.get(args.one, 1024))
-        print(json.dumps({"vec_per_s": round(vps, 1)}), flush=True)
+        totals = {p["name"]: p.get("n_total", 32768) for p in bench.PROFILES}
+        vps, compile_s = bench.measure_profile(
+            VARIANTS[args.one],
+            batch=batches.get(args.one, 1024),
+            n_total=totals.get(args.one, 32768))
+        print(json.dumps({"vec_per_s": round(vps, 1),
+                          "compile_s": round(compile_s, 1)}), flush=True)
         return
 
     results: dict[str, str] = {}

@@ -189,7 +189,11 @@ def train_ours(wd, x_train, x_val, epochs, D, K, M, L, de, dh, A, B):
         "task=train", f"trainset={train_npy}", f"output={out_npz}",
         f"M={M}", f"K={K}", f"L={L}", f"de={de}", f"dh={dh}",
         f"A={A}", f"B={B}", "batch=1024", f"epochs={epochs}",
-        f"ds.valset={len(x_val)}", "scheduler.stop_patience=1000",
+        f"ds.valset={len(x_val)}",
+        # default stop_patience (10) caps the run at epochs+10; the
+        # cosine schedule is at its floor past `epochs`, so the extra
+        # low-LR epochs change nothing material and checkpoint-on-best
+        # keeps the best state either way
         "verbose=false",
     ])
     assert rc in (0, None)
@@ -225,6 +229,10 @@ def main():
                     help="reuse mse_reference from the committed artifact "
                          "(data is seed-deterministic) and only run the "
                          "ours-trained phase")
+    ap.add_argument("--reuse-pt", action="store_true",
+                    help="load the already-trained torch checkpoint from "
+                         "the workdir instead of retraining the reference "
+                         "(data and recipe are seed-deterministic)")
     args = ap.parse_args()
 
     import torch
@@ -260,13 +268,18 @@ def main():
     else:
         model, cfg = build_ref_model(D, K, M, L, de, dh, A, B,
                                      data_mean, data_std)
-        init_codebooks_rq(model, cfg, x_train[:20_000])
-        train_reference(model, cfg, x_train, args.epochs, batch=1024)
+        pt = wd / "reference_converged.pt"
+        if args.reuse_pt and pt.exists():
+            state = torch.load(str(pt), weights_only=False)
+            model.load_state_dict(state["model"])
+            print(f"reusing trained torch checkpoint {pt}", flush=True)
+        else:
+            init_codebooks_rq(model, cfg, x_train[:20_000])
+            train_reference(model, cfg, x_train, args.epochs, batch=1024)
         mse_ref = ref_eval_mse(model, x_val)
         print(f"reference converged val MSE: {mse_ref:.4f}", flush=True)
 
         # save in the reference's checkpoint layout (qinco/utils.py:100-137)
-        pt = wd / "reference_converged.pt"
         torch.save({
             "epoch": args.epochs, "model": model.state_dict(),
             "optimizer": None, "scheduler": None, "logger": None,

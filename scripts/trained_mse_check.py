@@ -65,8 +65,16 @@ def main():
         # a meaningful delta for bench.py's ladder metadata
         ("xla_fast (approxA)", exact.with_(
             fast=True, compute_dtype="bfloat16")),
-        ("fast+pallas (topA)", exact.with_(
+        # old external-selection route (fast=True => approx_max_k on TPU)
+        ("fast+pallas (extA)", exact.with_(
+            fast=True, pallas=True, fused_topa=False,
+            compute_dtype="bfloat16")),
+        # round-5 in-kernel EXACT top-A (spec.fused_topa)
+        ("ktopa (exact topA) ", exact.with_(
             fast=True, pallas=True, compute_dtype="bfloat16")),
+        ("ktopa_fsel         ", exact.with_(
+            fast=True, pallas=True, compute_dtype="bfloat16",
+            fused_select=True)),
         ("fused_substep      ", exact.with_(
             fast=True, pallas=True, fused_substep=True,
             compute_dtype="bfloat16")),
@@ -75,9 +83,9 @@ def main():
             compute_dtype="bfloat16")),
         # fused select+rebuild on top: beam selection is exact, so each
         # should match its underlying scoring route's delta
-        ("selected_fsel      ", exact.with_(
+        ("selected_fsel (ext)", exact.with_(
             fast=True, pallas=True, compute_dtype="bfloat16",
-            fused_select=True)),
+            fused_topa=False, fused_select=True)),
         ("perbin_fsel        ", exact.with_(
             fast=True, pallas=True, fused_substep=True, perbin=True,
             compute_dtype="bfloat16", fused_select=True)),
