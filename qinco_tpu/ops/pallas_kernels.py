@@ -596,7 +596,8 @@ def _selected_scores_kernel(
     xh_ref,  # (R, D)
     vals_ref,  # (A, R) packed pre-selection values | None (in-kernel topA)
     sub_codebook_ref,  # (K, D) substep codebook | None (external selection)
-    table_ref,  # (K, D + De) folded table [C | C·P·(I+W1)]
+    table_ref,  # (K, D + De) folded table [C | C·P·(I+W1)], or (K, D) lean
+    wfold_ref,  # (D, De) folded weight P·(I+W1) | None (lean fetch)
     w2_ref,  # (D, De) condition half of the concat weight
     concat_b_ref,  # (1, De)
     ffn_up_ref,
@@ -684,7 +685,17 @@ def _selected_scores_kernel(
     ccb = cc_cond + concat_b_ref[0, :]  # (R, De) f32
 
     # Per-slot one-hot fetch: lane-iota compare against the slot's ids,
-    # then one (R, K) @ (K, D + De) matmul per slot.
+    # then one (R, K) @ (K, ·) matmul per slot.  With the LEAN table
+    # (spec.fast + wfold_ref) only the D codeword columns are fetched —
+    # the h-init column is rank-D ([C | C·P·(I+W1)] = C·[I | P(I+W1)]),
+    # so the fetched codewords multiply into the folded weight densely:
+    # (A·R, D) @ (D, De) costs D/K-th of fetching the De-wide column
+    # through the full-K contraction (~24% less fetch MXU work at
+    # QINCo2-S).  Precision note: P·(I+W1) is pre-multiplied outside,
+    # so f32 association differs in low bits from the table route —
+    # same precision class as the fast profile's DEFAULT-precision
+    # matmuls (which is why it rides spec.fast), far below the bf16
+    # rounding the profile already accepts.
     tab = table_ref[:].astype(dt)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
     ext = jnp.concatenate(
@@ -696,11 +707,18 @@ def _selected_scores_kernel(
             for a in range(A)
         ],
         axis=0,
-    )  # (A·R, D + De) dt: [cand | h-init]
+    )  # (A·R, D + De) dt: [cand | h-init]  (lean: (A·R, D) = [cand])
     cand = ext[:, :D].astype(jnp.float32)
     De = ccb.shape[1]
+    if wfold_ref is not None:  # lean fetch
+        h_cand = jnp.dot(
+            ext[:, :D], wfold_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        h_cand = ext[:, D:]
     h = (
-        ext[:, D:]
+        h_cand
         + jnp.broadcast_to(ccb[None], (A, R, De)).reshape(A * R, De)
     ).astype(dt)
 
@@ -783,19 +801,32 @@ def selected_scores_pallas(
     n_tiles = (NF + pad) // row_tile
 
     # Folded concat table [C | C·P·(I+W1)] (see _fused_substep_kernel):
-    # h = h0·(I+W1) + cond·W2 + b with h0 = C·P.
+    # h = h0·(I+W1) + cond·W2 + b with h0 = C·P.  Under spec.fast the
+    # fetch goes LEAN: the h column is rank-D (C · P·(I+W1)), so the
+    # kernel fetches only the D codeword columns through the full-K
+    # one-hot contraction and multiplies the folded (D, De) weight
+    # densely — ~24% less fetch MXU work at QINCo2-S (see the kernel's
+    # fetch comment for the precision note).
     dt = jnp.dtype(spec.compute_dtype)
     h_w = in_proj.shape[1] if in_proj is not None else D
     w1 = concat_w[:h_w]
     w2 = concat_w[h_w:]
-    if in_proj is not None:
-        cp = jnp.dot(codebook.astype(dt), in_proj.astype(dt),
-                     preferred_element_type=jnp.float32)
+    wfold = None
+    if spec.fast:
+        eye = jnp.eye(h_w, dtype=jnp.float32)
+        pw = in_proj if in_proj is not None else eye
+        wfold = (jnp.dot(pw, eye + w1, precision=jax.lax.Precision.HIGHEST)
+                 .astype(dt))
+        table = codebook.astype(dt)
     else:
-        cp = codebook
-    h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
-                          preferred_element_type=jnp.float32)
-    table = jnp.concatenate([codebook, h_cand], axis=1).astype(dt)
+        if in_proj is not None:
+            cp = jnp.dot(codebook.astype(dt), in_proj.astype(dt),
+                         preferred_element_type=jnp.float32)
+        else:
+            cp = codebook
+        h_cand = cp + jnp.dot(cp.astype(dt), w1.astype(dt),
+                              preferred_element_type=jnp.float32)
+        table = jnp.concatenate([codebook, h_cand], axis=1).astype(dt)
     w2 = w2.astype(dt)
     ffn_up = ffn_up.astype(dt)
     ffn_down = ffn_down.astype(dt)
@@ -814,7 +845,7 @@ def selected_scores_pallas(
         (A, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
-    operands = [x, xh, vals, sub_codebook, table, w2,
+    operands = [x, xh, vals, sub_codebook, table, wfold, w2,
                 concat_b.reshape(1, -1), ffn_up, ffn_down, out_proj]
     in_specs = [
         row_spec(D, row_tile // beams),
@@ -822,6 +853,7 @@ def selected_scores_pallas(
         None if vals is None else vals_spec,
         None if sub_codebook is None else full(sub_codebook),
         full(table),
+        None if wfold is None else full(wfold),
         full(w2),
         full(concat_b.reshape(1, -1)),
         full(ffn_up),
@@ -832,6 +864,7 @@ def selected_scores_pallas(
     has_out = out_proj is not None
     has_vals = vals is not None
     has_sub = sub_codebook is not None
+    has_wf = wfold is not None
 
     def kernel_dispatch(*refs):
         it = iter(refs[:-1])
@@ -840,13 +873,14 @@ def selected_scores_pallas(
         v_r = next(it) if has_vals else None
         sc_r = next(it) if has_sub else None
         tab_r = next(it)
+        wf_r = next(it) if has_wf else None
         w2_r = next(it)
         cb_r = next(it)
         fu_r = next(it)
         fd_r = next(it)
         op_r = next(it) if has_out else None
         _selected_scores_kernel(
-            spec, A, beams, x_r, xh_r, v_r, sc_r, tab_r, w2_r, cb_r,
+            spec, A, beams, x_r, xh_r, v_r, sc_r, tab_r, wf_r, w2_r, cb_r,
             fu_r, fd_r, op_r, refs[-1],
         )
 

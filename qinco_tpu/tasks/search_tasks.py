@@ -47,7 +47,9 @@ class IVFTrainTask(BaseSearchTask):
         # hosts would need per-host data slices (kmeans docstring).
         mesh = self.mesh if self.process_count == 1 else None
         centroids = kmeans(
-            x, int(cfg.ivf_K), iters=100, seed=cfg.seed, verbose=cfg.verbose,
+            x, int(cfg.ivf_K),
+            iters=int(cfg.get("kmeans_iters", 100) or 100),
+            seed=cfg.seed, verbose=cfg.verbose,
             mesh=mesh,
         )
         self.print(f"Storing IVF centroids to {cfg.output}")
