@@ -97,14 +97,17 @@ PROFILES = [
     # approximate on TPU (VERDICT r4 weak #2); here selection is exact
     # by construction.  Unproven on hardware until the round-5 smoke —
     # the ladder demotes them automatically if the probe fails.
+    # 65.3k vec/s measured (b1024, row_tile 512, v5e 2026-08-20; the
+    # auto row tile of 256 gives 63.6k, 128 gives 61.3k; batch-flat)
     dict(name="ktopa_fsel", pallas=True, mse_delta_pct=None,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
-                        fused_topa=True, fused_select=True)),
+                        fused_topa=True, fused_select=True, row_tile=512)),
+    # 62.7k vec/s measured (b1024, row_tile 512)
     dict(name="ktopa", pallas=True, mse_delta_pct=None,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
-                        fused_topa=True)),
+                        fused_topa=True, row_tile=512)),
     # exact top-A selection + fused select/rebuild, external top-A via
     # XLA approx_max_k under fast=True: 59.4k vec/s measured (b1024,
     # 2026-08-20).  approx-topA numerics on TPU (approx_max_k recall

@@ -136,6 +136,10 @@ def main():
     ap.add_argument("--nq", type=int, default=4096)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--ivf-k", type=int, default=65536)
+    ap.add_argument("--kmeans-iters", type=int, default=100,
+                    help="IVF coarse k-means iterations (reduce for the "
+                         "ivf_K=2^20 exercise where 100 full iterations "
+                         "cost more TPU-hours than the run needs)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--cpu-search", action="store_true",
                     help="also run the search sweep with cpu=true "
@@ -190,6 +194,7 @@ def main():
         phase("ivf_centroids", lambda: run_qinco.main([
             "task=ivf_centroids", f"trainset={out}/train.npy",
             f"output={out}/ivf.npy", f"ivf_K={args.ivf_k}",
+            f"kmeans_iters={args.kmeans_iters}",
             "ds.valset=10000", "verbose=true",
         ]))
         # k-means quality proxy: quantization MSE of a sample
