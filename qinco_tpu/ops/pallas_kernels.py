@@ -652,6 +652,8 @@ def _selected_scores_kernel(
     ).reshape(R, D)
     xh = xh_ref[:].astype(jnp.float32)
 
+    tab0 = table_ref[:].astype(dt)
+    fetches = None
     if sub_codebook_ref is not None:
         # ---- in-kernel exact substep top-A ------------------------------
         r = xv - xh  # residual target (R, D)
@@ -664,12 +666,20 @@ def _selected_scores_kernel(
         rowk = jax.lax.broadcasted_iota(jnp.int32, (K, R), dimension=0)
         cur = _pack_ids_f32(d_sub, rowk)
         INF = jnp.float32(jnp.inf)
-        rows = []
+        rows, fetches = [], []
         for _ in range(A):
             m = jnp.min(cur, axis=0, keepdims=True)  # (1, R)
             rows.append(m)
-            # fused mask+carry: exactly one entry removed per round
-            cur = jnp.where(cur == m, INF, cur)
+            mask = cur == m  # (K, R) — EXACT one-hot (packed values are
+            # pairwise distinct per column), and it is both this round's
+            # removal mask AND the winner's fetch mask: feeding it to the
+            # MXU here deletes the separate per-slot (R, K) iota-compare
+            # mask build below
+            fetches.append(jax.lax.dot_general(
+                mask.astype(dt), tab0, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt))  # (R, Wt)
+            cur = jnp.where(mask, INF, cur)
         vals = jnp.concatenate(rows, axis=0)  # (A, R) packed, ascending
     else:
         vals = vals_ref[:]  # (A, R) packed
@@ -696,18 +706,20 @@ def _selected_scores_kernel(
     # same precision class as the fast profile's DEFAULT-precision
     # matmuls (which is why it rides spec.fast), far below the bf16
     # rounding the profile already accepts.
-    tab = table_ref[:].astype(dt)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
-    ext = jnp.concatenate(
-        [
-            jnp.dot(
-                (col == ids[a][:, None]).astype(dt), tab,
-                preferred_element_type=jnp.float32,
-            ).astype(dt)
-            for a in range(A)
-        ],
-        axis=0,
-    )  # (A·R, D + De) dt: [cand | h-init]  (lean: (A·R, D) = [cand])
+    if fetches is not None:
+        ext = jnp.concatenate(fetches, axis=0)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
+        ext = jnp.concatenate(
+            [
+                jnp.dot(
+                    (col == ids[a][:, None]).astype(dt), tab0,
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                for a in range(A)
+            ],
+            axis=0,
+        )  # (A·R, D + De) dt: [cand | h-init]  (lean: (A·R, D) = [cand])
     cand = ext[:, :D].astype(jnp.float32)
     De = ccb.shape[1]
     if wfold_ref is not None:  # lean fetch
