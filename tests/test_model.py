@@ -141,3 +141,27 @@ def test_train_forward_losses(name):
     assert any(float(jnp.abs(g).sum()) > 0 for g in g_leaves)
     if spec.ivf_in_use:
         assert float(jnp.abs(grads.codebook0).sum()) == 0.0
+
+
+def test_spec_from_cfg_plumbs_kernel_knobs():
+    """Round-4 advisor: docs recommended `fused_select=true` via config
+    but spec_from_cfg never read it (silent no-op).  Every kernel knob
+    the docs name must round-trip config -> spec."""
+    from qinco_tpu.config import load_config
+    from qinco_tpu.models.spec import spec_from_cfg
+
+    cfg = load_config({
+        "K": 64, "M": 4, "L": 2, "dh": 32, "de": 16, "A": 8, "B": 4,
+        "pallas": True, "fast_encode": True, "compute_dtype": "bfloat16",
+        "fused_select": True, "fused_topa": False, "fold_up": False,
+        "row_tile": 512, "select_tile": 32, "perbin": True,
+        "fused_substep": True,
+    })
+    spec = spec_from_cfg(cfg, D=32)
+    assert spec.pallas and spec.fast and spec.fused_substep and spec.perbin
+    assert spec.fused_select is True
+    assert spec.fused_topa is False
+    assert spec.fold_up is False
+    assert spec.row_tile == 512
+    assert spec.select_tile == 32
+    assert spec.compute_dtype == "bfloat16"
