@@ -116,45 +116,82 @@ def main():
                      **overrides)
     params = init_params(jax.random.PRNGKey(0), spec)
 
+    # One dispatch runs n_iter batches via scan (the bench protocol):
+    # on the remote-TPU relay a single small dispatch measures transport
+    # latency, not device time — 32 batches amortize it away.
+    n_iter = 32
+
     @jax.jit
-    def encode_once(params, x):
-        codes, _, _ = encode_n(params, spec, x)
-        return codes.sum()
+    def encode_many(params, xs):
+        def body(_, x):
+            codes, _, _ = encode_n(params, spec, x)
+            return None, codes.sum()
 
-    x = jnp.asarray(np.random.default_rng(0)
-                    .normal(size=(args.batch, spec.D)).astype(np.float32))
-    float(encode_once(params, x))  # compile + warm
+        _, sums = jax.lax.scan(body, None, xs)
+        return sums.sum()
 
-    # measured steady-state dispatch time (median of 5, host readback)
+    xs = jnp.asarray(np.random.default_rng(0)
+                     .normal(size=(n_iter, args.batch, spec.D))
+                     .astype(np.float32))
+    float(encode_many(params, xs))  # compile + warm
+
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        float(encode_once(params, x))
+        float(encode_many(params, xs))
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / n_iter  # per batch
 
     # capture one traced dispatch for auditability
     trace_dir = Path(args.out).parent / "mfu_trace"
     trace_dir.mkdir(parents=True, exist_ok=True)
     with jax.profiler.trace(str(trace_dir)):
-        float(encode_once(params, x))
+        float(encode_many(params, xs))
 
     fpv = encode_flops_per_vector(spec)
     total = fpv * args.batch
     mfu = total / (dt * PEAK_BF16)
+    # Reference-equivalent accounting: the math a straight per-candidate
+    # implementation (reference qinco_inference.py:143-224) performs —
+    # in_proj + full concat + L FFN blocks + out_proj + distance per
+    # candidate, substep distances per beam row.  Our kernels execute
+    # FEWER FLOPs than this (the concat candidate half and first-FFN up
+    # are precomputed per step over K, not per A·R row), so
+    # mfu_reference_equivalent > mfu_achieved is expected and measures
+    # "reference work per second" against peak.
+    D, K, A, B, L = spec.D, spec.K, spec.A, spec.B, spec.L
+    De, Dh = spec.De, spec.dh
+    per_cand = (2 * D * De if spec.de and spec.de != D else 0)
+    per_cand += 2 * (De + D) * De + L * 2 * 2 * De * Dh
+    per_cand += (2 * De * D if spec.de and spec.de != D else 0) + 2 * D
+    per_row = 2 * K * D + A * per_cand
+    n_mlp = spec.M - 1 if not spec.ivf_in_use else spec.M
+    rows = sum(1 if i == 0 and not spec.ivf_in_use else B
+               for i in range(n_mlp))
+    useful = 2 * K * D + rows * per_row  # + step-0 argmin
+    mfu_useful = (useful * args.batch) / (dt * PEAK_BF16)
     rec = {
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "profile": args.profile,
         "batch": args.batch,
-        "dispatch_s_median5": round(dt, 5),
+        "n_iter_per_dispatch": n_iter,
+        "batch_time_s_median3": round(dt, 6),
         "vec_per_s": round(args.batch / dt, 1),
-        "flops_per_vector": round(fpv),
-        "mfu_vs_197T_bf16": round(mfu, 4),
+        "flops_per_vector_achieved": round(fpv),
+        "mfu_achieved_vs_197T_bf16": round(mfu, 4),
+        "flops_per_vector_reference_equivalent": round(useful),
+        "mfu_reference_equivalent_vs_197T_bf16": round(mfu_useful, 4),
         "trace_dir": str(trace_dir),
-        "note": "MFU = kernel-matmul FLOP floor / (measured dispatch x "
-                "197 TFLOPs peak); elementwise/VPU work excluded from "
-                "the numerator, so this is a LOWER bound on MXU duty "
-                "cycle. Trace captured for audit.",
+        "note": "achieved = the kernel matmul FLOPs actually executed "
+                "(incl. one-hot fetch/select gathers, the TPU-structural "
+                "gather cost; our kernels algebraically delete part of "
+                "the reference's per-candidate math, so achieved < "
+                "reference-equivalent) / (measured per-batch time x 197 "
+                "TFLOPs bf16 peak); reference_equivalent = the FLOPs a "
+                "straight per-candidate implementation performs for the "
+                "same encode.  Both exclude VPU/elementwise work, so "
+                "achieved is a LOWER bound on MXU duty cycle. Trace "
+                "captured for audit.",
     }
     print(json.dumps(rec, indent=1), flush=True)
     Path(args.out).write_text(json.dumps(rec, indent=1))
