@@ -403,7 +403,19 @@ def _beam_step_fused(
         )  # (NF, A) full squared distances
 
     A_eff = n_codes
-    if spec.fused_select and pack_ids and F_out <= F_in * A_eff:
+    # Measured fallback threshold (bench_artifacts/fsel_scaling.json,
+    # v5e 2026-08-20): the select kernel's F_out-unrolled extraction +
+    # Vt^2 one-hot parent gather win +5-7% at F_out <= 32, break even
+    # within noise at F_out >= 64 (speedup 0.98-1.03 as the auto
+    # vec_tile shrinks 64 -> 32 -> 16) — so beams beyond 64 take the
+    # XLA top_k + recompute tail instead of implicit luck.  K > 256
+    # (pack_ids False) already falls back here.
+    if (
+        spec.fused_select
+        and pack_ids
+        and F_out <= F_in * A_eff
+        and F_out <= 64
+    ):
         # Selection + rebuild fused on-chip: exact top-F_out extraction
         # over the packed distances, parent/codeword one-hot gathers and
         # the rebuild MLP all in VMEM — the XLA top_k + gather/recompute
