@@ -97,13 +97,13 @@ PROFILES = [
     # approximate on TPU (VERDICT r4 weak #2); here selection is exact
     # by construction.  Unproven on hardware until the round-5 smoke —
     # the ladder demotes them automatically if the probe fails.
-    # 65.3k vec/s measured (b1024, row_tile 512, v5e 2026-08-20; the
-    # auto row tile of 256 gives 63.6k, 128 gives 61.3k; batch-flat)
+    # 68.4k vec/s measured (b1024, row_tile 512, v5e 2026-08-20, with
+    # the reused extraction-mask fetch; auto row tile 256 gives 66.3k)
     dict(name="ktopa_fsel", pallas=True, mse_delta_pct=0.001,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
                         fused_topa=True, fused_select=True, row_tile=512)),
-    # 62.7k vec/s measured (b1024, row_tile 512)
+    # 64.9k vec/s measured (b1024, row_tile 512)
     dict(name="ktopa", pallas=True, mse_delta_pct=0.001,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
