@@ -175,13 +175,15 @@ os.environ.setdefault(
 
 def measure_profile(overrides: dict, batch: int = 4096,
                     n_total: int = 32768):
-    """Child mode: compile + time one profile, return vec/s.
+    """Child mode: compile + time one profile.
 
-    ``batch`` is per-profile (measured-best): the per-bin kernel peaks
-    at ~1024 rows — larger batches inflate the (N·F, ·) intermediates
-    past cache residency and LOSE ~15% throughput (batch sweep
-    2026-08-19, bench_artifacts/tpu_session_r4_batch.json) — while the
-    blocked kernels prefer 4096.  Total timed vectors stay 32768.
+    Returns ``(vec_per_s, compile_s)``.  ``batch`` is per-profile
+    (measured-best): the per-bin kernel peaks at ~1024 rows — larger
+    batches inflate the (N·F, ·) intermediates past cache residency
+    and LOSE ~15% throughput (batch sweep 2026-08-19,
+    bench_artifacts/tpu_session_r4_batch.json) — while the blocked
+    kernels prefer 4096.  ``n_total`` sets the timed vector count
+    (default 32768; the slow `exact` rung times 4096).
     """
     import numpy as np
     import jax
@@ -243,10 +245,13 @@ def probe_device() -> None:
     }), flush=True)
 
 
-RUN_LOG = {"probe_attempts": [], "rungs": [], "outcome": None}
+RUN_LOG = {"utc_start": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "probe_attempts": [], "rungs": [], "outcome": None}
 
 
 def _write_run_log():
+    RUN_LOG["utc_last_write"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     here = os.path.dirname(os.path.abspath(__file__))
     art = os.path.join(here, "bench_artifacts")
     try:
@@ -285,6 +290,9 @@ def run_probe(budget_s: float) -> bool:
         rec["rc"] = "timeout"
     rec["wall_s"] = round(time.perf_counter() - t0, 1)
     RUN_LOG["probe_attempts"].append(rec)
+    # incremental write: an externally killed run still leaves a record
+    # of everything up to the kill (round-2's rc=124 outer-timeout mode)
+    _write_run_log()
     ok = bool(rec.get("probe_ok"))
     print(f"probe: {'ALIVE' if ok else 'DEAD'} "
           f"({rec.get('backend', '?')}, {rec['wall_s']}s)",
@@ -299,6 +307,7 @@ def run_child(name: str, budget_s: float):
     """
     rec = {"name": name, "budget_s": round(budget_s, 1)}
     RUN_LOG["rungs"].append(rec)
+    _write_run_log()  # incremental: record the attempt before it runs
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--profile", name],
@@ -306,6 +315,7 @@ def run_child(name: str, budget_s: float):
         )
     except subprocess.TimeoutExpired:
         rec["result"] = f"timeout>{budget_s:.0f}s"
+        _write_run_log()
         print(f"profile {name}: timeout after {budget_s:.0f}s",
               file=sys.stderr, flush=True)
         return None, False, True
@@ -316,9 +326,12 @@ def run_child(name: str, budget_s: float):
                 rec["result"] = "ok"
                 rec["vec_per_s"] = d["vec_per_s"]
                 rec["compile_s"] = d.get("compile_s")
+                _write_run_log()
+                cs = d.get("compile_s")
+                hit = "cache hit" if (cs is not None and cs < 15) else (
+                    "cold compile" if cs is not None else "compile n/a")
                 print(f"profile {name}: {d['vec_per_s']:.0f} vec/s "
-                      f"(compile {d.get('compile_s', '?')}s — "
-                      f"{'cache hit' if (d.get('compile_s') or 99) < 15 else 'cold compile'})",
+                      f"(compile {cs}s — {hit})",
                       file=sys.stderr, flush=True)
                 return float(d["vec_per_s"]), False, False
         except (json.JSONDecodeError, TypeError, ValueError):
@@ -328,6 +341,7 @@ def run_child(name: str, budget_s: float):
     last = err_tail.strip().splitlines()[-1] if err_tail.strip() else "?"
     rec["result"] = f"rc={r.returncode} outage={outage}"
     rec["stderr_tail"] = err_tail[-300:]
+    _write_run_log()
     print(f"profile {name}: rc={r.returncode} outage={outage} | {last}",
           file=sys.stderr, flush=True)
     return None, outage, False

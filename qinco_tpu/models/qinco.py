@@ -189,6 +189,7 @@ def _beam_step(
     if spec.has_substep():
         if (
             spec.fused_topa
+            and spec.fast
             and spec.pallas
             and spec.K <= 256
             and p.concat_w2 is None
@@ -197,7 +198,12 @@ def _beam_step(
             # distances AND their exact top-A extraction run inside the
             # selected-scores kernel — no (NF, K) HBM round-trip, no XLA
             # top_k/approx_max_k (which made the fast profile's
-            # selection approximate; round-4 verdict weak #2).
+            # selection approximate; round-4 verdict weak #2).  Gated on
+            # spec.fast: the in-kernel substep matmul runs at the
+            # compute dtype (DEFAULT precision), which is the fast
+            # profile's precision class — the non-fast parity route
+            # keeps its HIGHEST-precision external distances + exact
+            # top_k below.
             return _beam_step_fused(
                 spec, p, x, xhat, F_out, n_codes, None, w, want_stats,
                 exact_sub=True,
@@ -403,18 +409,19 @@ def _beam_step_fused(
         )  # (NF, A) full squared distances
 
     A_eff = n_codes
-    # Measured fallback threshold (bench_artifacts/fsel_scaling.json,
-    # v5e 2026-08-20): the select kernel's F_out-unrolled extraction +
-    # Vt^2 one-hot parent gather win +5-7% at F_out <= 32, break even
-    # within noise at F_out >= 64 (speedup 0.98-1.03 as the auto
-    # vec_tile shrinks 64 -> 32 -> 16) — so beams beyond 64 take the
-    # XLA top_k + recompute tail instead of implicit luck.  K > 256
-    # (pack_ids False) already falls back here.
+    # Measured fallback bound (bench_artifacts/fsel_scaling.json, v5e
+    # 2026-08-20): the select kernel wins +5-7% at F_out <= 32 and is
+    # noise-level (speedup 0.98-1.03) through B=64-128 as the auto
+    # vec_tile shrinks 64 -> 32 -> 16 — so it stays active across the
+    # measured range and falls back only beyond it, where the auto
+    # vec_tile would drop below 16 (F_out*F_in > 128*128) and the
+    # quadratic one-hot parent gather is untested.  K > 256 (pack_ids
+    # False) already falls back here.
     if (
         spec.fused_select
         and pack_ids
         and F_out <= F_in * A_eff
-        and F_out <= 64
+        and F_out * F_in <= 16384
     ):
         # Selection + rebuild fused on-chip: exact top-F_out extraction
         # over the packed distances, parent/codeword one-hot gathers and

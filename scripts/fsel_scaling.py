@@ -31,35 +31,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def measure(spec, n_total=8192, batch=1024):
-    import jax
-    import jax.numpy as jnp
+def measure(overrides, n_total=8192, batch=1024):
+    """One timing protocol only: bench.measure_profile (the shared
+    scan-amortized, host-readback child measurement)."""
+    import bench
 
-    from qinco_tpu.models import init_params
-    from qinco_tpu.models.qinco import encode as encode_n
-
-    params = init_params(jax.random.PRNGKey(0), spec)
-    n_iter = max(1, n_total // batch)
-
-    @jax.jit
-    def encode_many(params, xs):
-        def body(_, x):
-            codes, _, _ = encode_n(params, spec, x)
-            return None, codes.sum()
-
-        _, sums = jax.lax.scan(body, None, xs)
-        return sums.sum()
-
-    xs = jnp.asarray(
-        np.random.default_rng(0)
-        .normal(size=(n_iter, batch, spec.D)).astype(np.float32))
-    t0 = time.perf_counter()
-    float(encode_many(params, xs))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(encode_many(params, xs))
-    dt = time.perf_counter() - t0
-    return batch * n_iter / dt, compile_s
+    return bench.measure_profile(overrides, batch=batch, n_total=n_total)
 
 
 def main():
@@ -69,20 +46,16 @@ def main():
         / "fsel_scaling.json"))
     args = ap.parse_args()
 
-    from qinco_tpu.models.spec import QincoSpec
-
     report = {"utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
               "rows": []}
-    base = dict(D=128, K=256, M=8, L=2, de=128, dh=256, A=16,
-                fast=True, pallas=True, fused_substep=True, perbin=True,
+    base = dict(fast=True, pallas=True, fused_substep=True, perbin=True,
                 compute_dtype="bfloat16")
 
     for B in (16, 32, 64, 128):
         row = {"B": B}
         for fsel in (False, True):
-            spec = QincoSpec(**base, B=B, fused_select=fsel)
             try:
-                vps, cs = measure(spec)
+                vps, cs = measure(dict(base, B=B, fused_select=fsel))
                 row["fsel" if fsel else "nofsel"] = round(vps, 1)
                 row[("fsel" if fsel else "nofsel") + "_compile_s"] = round(
                     cs, 1)
@@ -98,9 +71,8 @@ def main():
     # routes must fall back (candidate_scores_pallas + XLA top_k) and
     # still run.  K=512 also breaks the fused_substep K<=256 rule, so
     # use the plain pallas route.
-    k512 = QincoSpec(D=128, K=512, M=8, L=2, de=128, dh=256, A=16, B=32,
-                     fast=True, pallas=True, compute_dtype="bfloat16",
-                     fused_select=True)
+    k512 = dict(K=512, fast=True, pallas=True, compute_dtype="bfloat16",
+                fused_select=True)
     try:
         vps, cs = measure(k512, n_total=4096)
         report["K512_fallback"] = {"vec_per_s": round(vps, 1),

@@ -258,8 +258,12 @@ def main():
 
     if args.skip_reference:
         assert prev is not None, "--skip-reference needs a committed artifact"
-        assert prev["config"]["epochs"] == args.epochs, (
-            "epoch mismatch vs committed artifact — rerun the full oracle")
+        want = {"D": D, "K": K, "M": M, "L": L, "de": de, "dh": dh,
+                "A": A, "B": B, "epochs": args.epochs,
+                "n_train": args.n_train, "n_val": args.n_val}
+        assert prev["config"] == want, (
+            f"config mismatch vs committed artifact "
+            f"({prev['config']} != {want}) — rerun the full oracle")
         mse_ref = prev["mse_reference"]
         mse_ours = prev["mse_ours_converted"]
         delta_pct = prev["delta_pct"]

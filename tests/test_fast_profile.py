@@ -299,8 +299,12 @@ def test_fused_topa_in_kernel_matches_external_exact_topk():
     exact-top_k route (fused_topa=False, fast=False) bit-for-bit —
     both rank the same packed partial distances with the same tie
     semantics."""
+    # fast=True: the in-kernel route is gated on the fast profile (the
+    # non-fast parity route keeps HIGHEST-precision external selection);
+    # on CPU the external fast route's approx_max_k lowers to exact
+    # top-k, so both sides are exact and must agree bit-for-bit.
     base = QincoSpec(D=32, K=64, M=4, L=2, de=32, dh=64, A=8, B=8,
-                     pallas=True)
+                     pallas=True, fast=True)
     params = init_params(jax.random.PRNGKey(3), base)
     x = jnp.asarray(
         np.random.default_rng(11).normal(size=(70, base.D)).astype(np.float32)
@@ -318,7 +322,7 @@ def test_fused_topa_in_kernel_matches_external_exact_topk():
     assert (np.asarray(codes_ext) == np.asarray(codes_fs)).all()
 
     ivf = QincoSpec(D=16, K=32, M=3, L=1, de=12, dh=24, A=4, B=8, ivf_K=64,
-                    pallas=True)
+                    pallas=True, fast=True)
     p_ivf = init_params(jax.random.PRNGKey(4), ivf)
     p_ivf = p_ivf._replace(
         codebook0=jax.random.normal(jax.random.PRNGKey(5), (64, 16))
