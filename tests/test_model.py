@@ -165,3 +165,30 @@ def test_spec_from_cfg_plumbs_kernel_knobs():
     assert spec.row_tile == 512
     assert spec.select_tile == 32
     assert spec.compute_dtype == "bfloat16"
+
+
+def test_bench_ladder_profiles_construct_and_encode():
+    """Every bench.py ladder rung's overrides must build a valid
+    QincoSpec and run one tiny encode on CPU — catches override typos
+    or route regressions before they burn TPU bench budget."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import bench
+    from qinco_tpu.models import init_params
+    from qinco_tpu.models.qinco import encode
+    from qinco_tpu.models.spec import QincoSpec
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)
+    )
+    for prof in bench.PROFILES:
+        kw = dict(D=16, K=16, M=3, L=1, de=8, dh=16, A=4, B=4)
+        kw.update(prof["overrides"])
+        kw.pop("row_tile", None)  # production tile sizes don't fit tiny shapes
+        spec = QincoSpec(**kw)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        codes, xhat, _ = encode(params, spec, x)
+        assert codes.shape == (spec.M, 16), prof["name"]
+        assert np.isfinite(np.asarray(xhat)).all(), prof["name"]
