@@ -149,10 +149,14 @@ def _target_stats(x_target: jnp.ndarray, w: Optional[jnp.ndarray]):
             jnp.std(x_target, axis=(0, 1), ddof=1),
         )
     F_in = x_target.shape[1]
-    denom = jnp.maximum(w.sum() * F_in, 2.0)
+    n = w.sum() * F_in
     wf = w[:, None, None]
-    t_mean = jnp.sum(x_target * wf, axis=(0, 1)) / denom
-    var = jnp.sum((x_target - t_mean) ** 2 * wf, axis=(0, 1)) / (denom - 1.0)
+    # mean over the real rows; only the Bessel divisor needs a floor
+    # (a single-row batch must not halve the mean fed into the EMA)
+    t_mean = jnp.sum(x_target * wf, axis=(0, 1)) / jnp.maximum(n, 1.0)
+    var = jnp.sum((x_target - t_mean) ** 2 * wf, axis=(0, 1)) / jnp.maximum(
+        n - 1.0, 1.0
+    )
     return t_mean, jnp.sqrt(var)
 
 
@@ -192,6 +196,7 @@ def _beam_step(
             and spec.fast
             and spec.pallas
             and spec.K <= 256
+            and n_codes <= spec.K
             and p.concat_w2 is None
         ):
             # Exact in-kernel top-A (spec.fused_topa): the substep
@@ -354,17 +359,14 @@ def _beam_step_fused(
     # its fetched candidate block in the compute dtype, which fits
     # R*A = 8192 under the 16MB scoped-vmem limit; the plain scoring
     # kernel's f32 activations overflow there, so it stays at 4096.
-    budget = (
-        8192
-        if (top_idx is None and sel_vals is None and not exact_sub)
-        else 4096
-    )
-    if top_idx is not None or sel_vals is not None or exact_sub:
+    if top_idx is None and sel_vals is None and not exact_sub:
+        budget = 8192  # binned kernel: compute-dtype candidate block
+    else:
         # The selected/candidate kernels' f32 activations scale with the
         # MLP width; 4096 is calibrated at the S shapes (de+dh = 384).
         # qinco2-M/L (de=dh=384) overflowed the 16MB scoped-vmem limit
         # by 1.9MB at that budget (KERNEL_SMOKE 2026-08-20).
-        budget = max(1024, budget * 384 // max(384, spec.De + spec.dh))
+        budget = max(1024, 4096 * 384 // max(384, spec.De + spec.dh))
     row_tile = spec.row_tile or max(
         8, min(512, budget // n_codes, _round_up_pow2(NF))
     )
@@ -597,6 +599,20 @@ def encode_from_coarse(
     return codes, xhat[:, 0], EncodeStats(means, stds)
 
 
+@functools.lru_cache(maxsize=1)
+def _get_encode_ivf_sharded_jit():
+    """Module-level jitted wrapper: wrapping per call would create a
+    fresh PjitFunction with an empty trace cache for every chunk of a
+    sharded billion-scale encode (round-5 review finding)."""
+    from ..parallel.sharded_ops import encode_ivf_sharded
+
+    return jax.jit(encode_ivf_sharded, static_argnames=("mesh", "spec"))
+
+
+def _encode_ivf_sharded_jit(mesh, params, spec, x_n):
+    return _get_encode_ivf_sharded_jit()(mesh, params, spec, x_n)
+
+
 def encode_raw(
     params: QincoParams, spec: QincoSpec, x: jnp.ndarray, *, mesh=None, **kw
 ) -> jnp.ndarray:
@@ -608,11 +624,7 @@ def encode_raw(
     """
     x_n = (x - params.data_mean) / params.data_std
     if mesh is not None and spec.ivf_in_use and mesh.shape.get("model", 1) > 1:
-        from ..parallel.sharded_ops import encode_ivf_sharded
-
-        codes, _, _ = jax.jit(
-            encode_ivf_sharded, static_argnames=("mesh", "spec")
-        )(mesh, params, spec, x_n)
+        codes, _, _ = _encode_ivf_sharded_jit(mesh, params, spec, x_n)
         return codes
     codes, _, _ = encode(params, spec, x_n, **kw)
     return codes

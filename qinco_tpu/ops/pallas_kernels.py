@@ -93,7 +93,18 @@ def _pack_ids_f32(d, ids):
     gather / relayout (that padded-16-lane reshape+gather cost
     ~2.5 ms/step).  d >= 0, so float ordering == int-bit ordering;
     masking only perturbs ranking on ~2^-15-relative ties, and
-    reconstructions are recomputed exactly for the selected beams."""
+    reconstructions are recomputed exactly for the selected beams.
+
+    Values with |d| < 1e-30 are first pushed to ±1e-30 (a normal f32):
+    an exactly-zero distance (e.g. a zeroed dead codebook row under the
+    partial-distance form, which can also be negative) would pack to a
+    *subnormal* (~1e-43), and TPU VPU flush-to-zero could then strip
+    the id bits from a min result and break the pairwise-distinct
+    invariant the equality-mask fetches rely on.  The push preserves
+    ordering (negatives stay below positives) and such values tie at
+    ±1e-30, distinct via the id bits."""
+    tiny = jnp.float32(1e-30)
+    d = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
     di = jax.lax.bitcast_convert_type(d, jnp.int32)
     di = jnp.bitwise_or(jnp.bitwise_and(di, jnp.int32(~0xFF)), ids)
     return jax.lax.bitcast_convert_type(di, jnp.float32)
@@ -263,7 +274,8 @@ def _fused_substep_kernel(
         # condition rows, so the (A*R, Wt) ext concat and all (A, R, .)
         # broadcasts disappear; only A (1, R) distance rows concatenate
         # at the end.  Costs A-way unrolled (smaller) matmuls instead.
-        r = xv - xh  # ||x - (out + cand + xh)||^2 == ||r - out - cand||^2
+        # (r above is the residual target: ||x - (out + cand + xh)||^2
+        # == ||r - out - cand||^2.)
         cc_cond = jnp.dot(
             xh.astype(dt), w2_ref[:].astype(dt),
             preferred_element_type=jnp.float32,
@@ -273,7 +285,6 @@ def _fused_substep_kernel(
             ccb.astype(dt), ffn_up_ref[0].astype(dt),
             preferred_element_type=jnp.float32,
         )  # (R, Dh)
-        De = ccb.shape[1]
         outs = []
         for a in range(A):
             fetch = jax.lax.dot_general(
@@ -800,6 +811,13 @@ def selected_scores_pallas(
         raise ValueError("selected_scores_pallas requires K <= 256")
     if (vals is None) == (sub_codebook is None):
         raise ValueError("pass exactly one of vals / sub_codebook")
+    if sub_codebook is not None and A > K:
+        # extraction rounds beyond K would see an all-INF tile, whose
+        # all-True equality mask silently fetches the SUM of every
+        # codeword — fail loudly like the XLA top_k route does
+        raise ValueError(
+            f"in-kernel top-A requires n_codes <= K ({A} > {K})"
+        )
     if row_tile % beams or x.shape[0] * beams != NF:
         raise ValueError("beams must divide row_tile and x rows * beams == NF")
     pad = _round_up(NF, row_tile) - NF
@@ -1165,16 +1183,18 @@ def select_rebuild_pallas(
         while vt > 8 and 4 * F_out * F_in * vt * vt > OH_BUDGET_BYTES:
             vt //= 2
         vec_tile = vt
-    else:
-        oh_bytes = 4 * F_out * F_in * vec_tile * vec_tile
-        if oh_bytes > OH_BUDGET_BYTES:
-            raise ValueError(
-                f"select_rebuild_pallas: one-hot gather matrix "
-                f"(F_out*Vt, Vt*F_in) f32 = {oh_bytes / 2**20:.1f} MB "
-                f"exceeds the {OH_BUDGET_BYTES >> 20} MB VMEM budget at "
-                f"vec_tile={vec_tile}, F_out={F_out}, F_in={F_in}; pass "
-                f"select_tile=0 to auto-size or choose a smaller tile"
-            )
+    oh_bytes = 4 * F_out * F_in * vec_tile * vec_tile
+    if oh_bytes > OH_BUDGET_BYTES:
+        # also reachable from auto-sizing when even vt=8 cannot fit —
+        # fail with the math spelled out rather than the opaque Mosaic
+        # scoped-VMEM allocation error
+        raise ValueError(
+            f"select_rebuild_pallas: one-hot gather matrix "
+            f"(F_out*Vt, Vt*F_in) f32 = {oh_bytes / 2**20:.1f} MB "
+            f"exceeds the {OH_BUDGET_BYTES >> 20} MB VMEM budget at "
+            f"vec_tile={vec_tile}, F_out={F_out}, F_in={F_in}; use a "
+            f"smaller beam/tile or the XLA top_k fallback"
+        )
     pad = _round_up(N, vec_tile) - N
     if pad:
         # padded vectors select inf everywhere -> code 0 / parent 0 rows,
