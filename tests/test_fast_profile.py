@@ -333,3 +333,39 @@ def test_fused_topa_in_kernel_matches_external_exact_topk():
     codes_i0, _, _ = encode(p_ivf, ivf.with_(fused_topa=False), xi)
     codes_i1, _, _ = encode(p_ivf, ivf, xi)
     assert (np.asarray(codes_i0) == np.asarray(codes_i1)).all()
+
+
+def test_fused_topa_refuses_n_codes_over_K():
+    """B > K at the IVF expanding step makes n_codes = max(B, A) > K;
+    the in-kernel route must raise like the XLA top_k route does, not
+    silently fetch the sum of every codeword (round-5 review)."""
+    import pytest
+
+    from qinco_tpu.ops.pallas_kernels import selected_scores_pallas
+
+    spec = QincoSpec(D=16, K=32, M=2, L=1, de=12, dh=16, A=8, B=64,
+                     ivf_K=16, pallas=True, fast=True)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    with pytest.raises(ValueError, match="n_codes <= K"):
+        selected_scores_pallas(
+            spec,
+            jnp.zeros((4, 16)), jnp.zeros((4, 16)), None,
+            params.steps.codebook[0], None,
+            params.steps.concat_w[0], params.steps.concat_b[0],
+            params.steps.ffn_up[0], params.steps.ffn_down[0], None,
+            n_codes=64, beams=1, row_tile=4, interpret=True,
+            sub_codebook=params.steps.sub_codebook[0],
+        )
+
+
+def test_target_stats_single_row_mean_exact():
+    """A tail batch with exactly one unmasked row must feed the TRUE
+    row mean into the EMA stats — the old >=2 denominator clamp halved
+    it (round-5 review)."""
+    from qinco_tpu.models.qinco import _target_stats
+
+    x_target = jnp.asarray([[[2.0, 4.0]]])  # (N=1, F=1, D=2)
+    w = jnp.asarray([1.0])
+    mean, std = _target_stats(x_target, w)
+    np.testing.assert_allclose(np.asarray(mean), [2.0, 4.0], rtol=1e-6)
+    assert np.isfinite(np.asarray(std)).all()
