@@ -30,6 +30,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _live_plumbing(pairs):
+    """Shared pallas_call plumbing for optional operands.
+
+    ``pairs`` is ``[(operand | None, BlockSpec | None), ...]`` in kernel
+    argument order.  Returns ``(live_operands, live_specs, unpack)``
+    where ``unpack(refs)`` re-expands the positional kernel refs to the
+    full argument list with ``None`` at absent positions — replacing the
+    hand-maintained ``has_* / next(it)`` bookkeeping each wrapper used
+    to copy (round-5 review: that positional threading breaks silently
+    when an operand is added to one list but not the other)."""
+    present = [o is not None for o, _ in pairs]
+
+    def unpack(refs):
+        it = iter(refs)
+        return [next(it) if p else None for p in present]
+
+    return (
+        [o for o, _ in pairs if o is not None],
+        [s for (o, s) in pairs if o is not None],
+        unpack,
+    )
+
+
 def _mlp_chain(
     spec: QincoSpec,
     cand,  # (RA, D) f32 raw codewords
@@ -565,37 +588,26 @@ def fused_substep_scores_pallas(
         full(ffn_down),
         None if out_proj is None else full(out_proj),
     ]
-    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
-    has_w2 = concat_w2 is not None
-    has_out = out_proj is not None
+    live_ops, live_specs, unpack = _live_plumbing(
+        list(zip(operands, in_specs))
+    )
 
     def kernel_dispatch(*refs):
-        it = iter(refs[:-1])
-        x_r = next(it)
-        xh_r = next(it)
-        sc_r = next(it)
-        tab_r = next(it)
-        w2_r = next(it)
-        cw2_r = next(it) if has_w2 else None
-        cb2_r = next(it)
-        fu_r = next(it)
-        fd_r = next(it)
-        op_r = next(it) if has_out else None
+        ins = unpack(refs[:-1])
         _fused_substep_kernel(
-            spec, A, beams, off_h, off_w1, off_up, x_r, xh_r, sc_r, tab_r, w2_r,
-            cw2_r, cb2_r, fu_r, fd_r, op_r, refs[-1],
+            spec, A, beams, off_h, off_w1, off_up, *ins, refs[-1],
         )
 
     dists = pl.pallas_call(
         kernel_dispatch,
         out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[s for _, s in live],
+        in_specs=live_specs,
         out_specs=pl.BlockSpec(
             (row_tile, A), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(*[o for o, _ in live])
+    )(*live_ops)
     return dists[:NF]
 
 
@@ -890,40 +902,24 @@ def selected_scores_pallas(
         full(ffn_down),
         None if out_proj is None else full(out_proj),
     ]
-    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
-    has_out = out_proj is not None
-    has_vals = vals is not None
-    has_sub = sub_codebook is not None
-    has_wf = wfold is not None
+    live_ops, live_specs, unpack = _live_plumbing(
+        list(zip(operands, in_specs))
+    )
 
     def kernel_dispatch(*refs):
-        it = iter(refs[:-1])
-        x_r = next(it)
-        xh_r = next(it)
-        v_r = next(it) if has_vals else None
-        sc_r = next(it) if has_sub else None
-        tab_r = next(it)
-        wf_r = next(it) if has_wf else None
-        w2_r = next(it)
-        cb_r = next(it)
-        fu_r = next(it)
-        fd_r = next(it)
-        op_r = next(it) if has_out else None
-        _selected_scores_kernel(
-            spec, A, beams, x_r, xh_r, v_r, sc_r, tab_r, wf_r, w2_r, cb_r,
-            fu_r, fd_r, op_r, refs[-1],
-        )
+        ins = unpack(refs[:-1])
+        _selected_scores_kernel(spec, A, beams, *ins, refs[-1])
 
     dists = pl.pallas_call(
         kernel_dispatch,
         out_shape=jax.ShapeDtypeStruct((NF + pad, A), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[s for _, s in live],
+        in_specs=live_specs,
         out_specs=pl.BlockSpec(
             (row_tile, A), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(*[o for o, _ in live])
+    )(*live_ops)
     return dists[:NF]
 
 
@@ -1006,30 +1002,13 @@ def candidate_scores_pallas(
         None if out_proj is None else full(out_proj),
     ]
     # Pallas does not accept None operands; filter and re-inject.
-    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
-    live_ops = [o for o, _ in live]
-    live_specs = [s for _, s in live]
-    has_in = in_proj is not None
-    has_w2 = concat_w2 is not None
-    has_out = out_proj is not None
+    live_ops, live_specs, unpack = _live_plumbing(
+        list(zip(operands, in_specs))
+    )
 
     def kernel_dispatch(*refs):
-        it = iter(refs[:-1])
-        x_r = next(it)
-        xh_r = next(it)
-        idx_r = next(it)
-        cb_r = next(it)
-        ip_r = next(it) if has_in else None
-        cw_r = next(it)
-        cw2_r = next(it) if has_w2 else None
-        cb2_r = next(it)
-        fu_r = next(it)
-        fd_r = next(it)
-        op_r = next(it) if has_out else None
-        _cand_scores_kernel(
-            spec, x_r, xh_r, idx_r, cb_r, ip_r, cw_r, cw2_r, cb2_r, fu_r,
-            fd_r, op_r, refs[-1], pack_ids=pack_ids,
-        )
+        ins = unpack(refs[:-1])
+        _cand_scores_kernel(spec, *ins, refs[-1], pack_ids=pack_ids)
 
     dists = pl.pallas_call(
         kernel_dispatch,
@@ -1238,26 +1217,14 @@ def select_rebuild_pallas(
         full(ffn_down),
         None if out_proj is None else full(out_proj),
     ]
-    live = [(o, s) for o, s in zip(operands, in_specs) if o is not None]
-    has_in = in_proj is not None
-    has_w2 = concat_w2 is not None
-    has_out = out_proj is not None
+    live_ops, live_specs, unpack = _live_plumbing(
+        list(zip(operands, in_specs))
+    )
 
     def kernel_dispatch(*refs):
-        it = iter(refs[: -3])
-        d_r = next(it)
-        xh_r = next(it)
-        cb_r = next(it)
-        ip_r = next(it) if has_in else None
-        cw_r = next(it)
-        cw2_r = next(it) if has_w2 else None
-        cb2_r = next(it)
-        fu_r = next(it)
-        fd_r = next(it)
-        op_r = next(it) if has_out else None
+        ins = unpack(refs[:-3])
         _select_rebuild_kernel(
-            spec, A_eff, F_in, F_out, d_r, xh_r, cb_r, ip_r, cw_r, cw2_r,
-            cb2_r, fu_r, fd_r, op_r, refs[-3], refs[-2], refs[-1],
+            spec, A_eff, F_in, F_out, *ins, refs[-3], refs[-2], refs[-1],
         )
 
     xhat_j, codes_j, par_j = pl.pallas_call(
@@ -1269,7 +1236,7 @@ def select_rebuild_pallas(
             jax.ShapeDtypeStruct((n_tiles * F_out, vec_tile), jnp.int32),
         ],
         grid=(n_tiles,),
-        in_specs=[s for _, s in live],
+        in_specs=live_specs,
         out_specs=[
             pl.BlockSpec((F_out * vec_tile, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -1279,7 +1246,7 @@ def select_rebuild_pallas(
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
-    )(*[o for o, _ in live])
+    )(*live_ops)
 
     # j-major tile outputs -> vector-major (one XLA relayout per step)
     xhat_next = (
