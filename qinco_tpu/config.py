@@ -146,10 +146,38 @@ def load_config(
             kv_overrides.append((key, _parse_value(val)))
 
     # A preset can come from the explicit arg or a model_args=... override.
+    encode_profile = None
     for key, val in list(kv_overrides):
         if key == "model_args":
             preset = val
             kv_overrides.remove((key, val))
+        elif key == "encode_profile":
+            encode_profile = val
+            kv_overrides.remove((key, val))
+
+    # Convenience bundles for the measured encode profiles (docs/
+    # architecture.md; individual knobs may still be overridden after):
+    #   exact  — reference-parity f32 XLA path (the default.yaml state)
+    #   parity — fastest reference-parity selection: in-kernel exact
+    #            top-A + fused select/rebuild (68.4k vec/s on v5e)
+    #   speed  — fastest overall: binned per-bin kernel (+0.07-0.43%
+    #            MSE, 105.7k vec/s on v5e)
+    if encode_profile:
+        bundles = {
+            "exact": {},
+            "parity": dict(pallas=True, fast_encode=True,
+                           compute_dtype="bfloat16", fused_select=True),
+            "speed": dict(pallas=True, fast_encode=True,
+                          compute_dtype="bfloat16", fused_substep=True,
+                          perbin=True, fused_select=True),
+        }
+        if encode_profile not in bundles:
+            raise ValueError(
+                f"Unknown encode_profile {encode_profile!r}; "
+                f"available: {sorted(bundles)}"
+            )
+        # bundle first, explicit dotted overrides still win below
+        kv_overrides = list(bundles[encode_profile].items()) + kv_overrides
 
     if preset:
         preset_path = _CONFIG_DIR / "model_args" / f"{preset}.yaml"

@@ -192,3 +192,34 @@ def test_bench_ladder_profiles_construct_and_encode():
         codes, xhat, _ = encode(params, spec, x)
         assert codes.shape == (spec.M, 16), prof["name"]
         assert np.isfinite(np.asarray(xhat)).all(), prof["name"]
+
+
+def test_encode_profile_bundles():
+    """encode_profile=speed|parity|exact expands to the measured knob
+    bundles; explicit overrides still win."""
+    import pytest
+
+    from qinco_tpu.config import load_config
+    from qinco_tpu.models.spec import spec_from_cfg
+
+    cfg = load_config(["encode_profile=speed", "K=16", "M=2", "L=1",
+                       "dh=8", "A=4", "B=2"])
+    spec = spec_from_cfg(cfg, D=8)
+    assert spec.pallas and spec.fast and spec.fused_substep
+    assert spec.perbin and spec.fused_select
+    assert spec.compute_dtype == "bfloat16"
+
+    cfg = load_config(["encode_profile=parity", "K=16", "M=2", "L=1",
+                       "dh=8", "A=4", "B=2", "compute_dtype=float32"])
+    spec = spec_from_cfg(cfg, D=8)
+    assert spec.pallas and spec.fast and spec.fused_select
+    assert not spec.fused_substep
+    assert spec.compute_dtype == "float32"  # explicit override wins
+
+    cfg = load_config(["encode_profile=exact", "K=16", "M=2", "L=1",
+                       "dh=8", "A=4", "B=2"])
+    spec = spec_from_cfg(cfg, D=8)
+    assert not spec.pallas and not spec.fast
+
+    with pytest.raises(ValueError, match="encode_profile"):
+        load_config(["encode_profile=warp"])
