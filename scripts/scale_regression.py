@@ -173,7 +173,11 @@ def main():
         profile = []
     else:
         model_args = ["model_args=qinco2-S"]
-        profile = ["pallas=true", "fast_encode=true", "compute_dtype=bfloat16"]
+        # parity-numerics fast profile (encode_profile=parity): exact
+        # in-kernel top-A + the numerics-neutral fused select/rebuild —
+        # DB encode quality feeds recall, so the binned profile stays
+        # out of the pipeline by default
+        profile = ["encode_profile=parity"]
 
     def phase(name, fn):
         t0 = time.perf_counter()
