@@ -642,8 +642,10 @@ def _encode_raw_scan(params, spec, xs):
     dispatch -> codes (G, M_ivf, bs).  On the remote-TPU transport each
     dispatch costs tens of ms of round-trip latency; at the billion-scale
     encode's chunk sizes that overhead dominated device time (measured
-    17k vec/s task throughput vs 62k kernel throughput on the 10M run),
-    so chunks are grouped G at a time."""
+    17k vec/s task throughput vs 62k kernel throughput on the 10M run;
+    36k task-level after round 5's fused select + jit hoist,
+    bench_artifacts/scale_report_v4_2026-08-20.json), so chunks are
+    grouped G at a time."""
 
     def body(_, x):
         return None, encode_raw(params, spec, x)
