@@ -84,45 +84,47 @@ PROFILES = [
          batch=1024,
          overrides=dict(fast=True, pallas=True, fused_substep=True,
                         compute_dtype="bfloat16", perbin=True)),
-    # fused binned kernel: 69.8k vec/s measured (b1024)
-    dict(name="fused", pallas=True, mse_delta_pct=0.433, numerics="binned",
-         batch=1024,
-         overrides=dict(fast=True, pallas=True, fused_substep=True,
-                        compute_dtype="bfloat16")),
-    # Round-5 kernels: substep top-A IN-KERNEL (spec.fused_topa — exact
-    # iterative extraction over the on-chip (K, R) packed-distance
-    # tile).  Deletes the XLA (NF, K) HBM round-trip + top_k tail the
-    # selected rungs paid, AND upgrades their numerics: the old rungs'
-    # fast profile used approx_max_k, so their "exact-topA" label was
-    # approximate on TPU (VERDICT r4 weak #2); here selection is exact
-    # by construction.  Unproven on hardware until the round-5 smoke —
-    # the ladder demotes them automatically if the probe fails.
-    # 68.4k vec/s measured (b1024, row_tile 512, v5e 2026-08-20, with
-    # the reused extraction-mask fetch; auto row tile 256 gives 66.3k)
+    # Exact substep top-A IN-KERNEL (spec.fused_topa — exact iterative
+    # extraction over the on-chip (K, R) packed-distance tile).  Deletes
+    # the XLA (NF, K) HBM round-trip + top_k tail the selected rungs
+    # paid, AND upgrades their numerics: the old rungs' fast profile
+    # used approx_max_k, so their "exact-topA" label was approximate on
+    # TPU (VERDICT r4 weak #2); here selection is exact by construction.
+    # Round-5 per-slot restructure (each extraction round's fetch runs
+    # its own (R, ·) MLP slab — no (A·R, D) broadcasts, the same
+    # transformation that took the binned kernel 69.6k -> 99.1k) lifted
+    # this rung 68.4k -> 95.7k vec/s (b1024, row_tile 512, v5e
+    # 2026-08-20, bench_artifacts/ktopa_breakdown_r5d.json).
     dict(name="ktopa_fsel", pallas=True, mse_delta_pct=0.001,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
                         fused_topa=True, fused_select=True, row_tile=512)),
-    # 64.9k vec/s measured (b1024, row_tile 512)
+    # 90.3k vec/s measured (b1024, row_tile 512, per-slot; was 64.9k)
     dict(name="ktopa", pallas=True, mse_delta_pct=0.001,
          numerics="exact-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
                         fused_topa=True, row_tile=512)),
-    # exact top-A selection + fused select/rebuild, external top-A via
-    # XLA approx_max_k under fast=True: 59.4k vec/s measured (b1024,
-    # 2026-08-20).  approx-topA numerics on TPU (approx_max_k recall
-    # ~0.95; CPU lowers it to exact top-k — VERDICT r4 weak #2);
-    # TPU-measured delta +0.001% on the 10M-run checkpoint
+    # exact top-A scoring + fused select/rebuild, external top-A via
+    # XLA approx_max_k under fast=True: 83.5k vec/s measured (b1024,
+    # per-slot kernel; was 59.4k blocked).  approx-topA numerics on TPU
+    # (approx_max_k recall ~0.95; CPU lowers it to exact top-k — VERDICT
+    # r4 weak #2); TPU-measured delta +0.001% on the 10M-run checkpoint
     # (bench_artifacts/trained_mse_tpu_2026-08-20.log).
     dict(name="selected_fsel", pallas=True, mse_delta_pct=0.001,
          numerics="approx-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
                         fused_topa=False, fused_select=True)),
-    # external-top-A selection kernel: 58.0k vec/s measured (b1024)
+    # external-top-A selection kernel: 79.8k vec/s measured (b1024,
+    # per-slot; was 58.0k blocked)
     dict(name="selected", pallas=True, mse_delta_pct=0.001,
          numerics="approx-topA", batch=1024,
          overrides=dict(fast=True, pallas=True, compute_dtype="bfloat16",
                         fused_topa=False)),
+    # fused binned kernel (blocked (A·R, ·) form): 69.8k vec/s (b1024)
+    dict(name="fused", pallas=True, mse_delta_pct=0.433, numerics="binned",
+         batch=1024,
+         overrides=dict(fast=True, pallas=True, fused_substep=True,
+                        compute_dtype="bfloat16")),
     # fused without the folded-up table (narrower VMEM footprint)
     dict(name="fused_nofold", pallas=True, mse_delta_pct=0.433,
          numerics="binned", batch=1024,

@@ -342,6 +342,7 @@ def _beam_step_fused(
     """Pallas-kernel beam step: score all F·A candidates on-chip, then
     recompute reconstructions for only the F_out selected beams."""
     from ..ops.pallas_kernels import (
+        _selected_perslot as _sel_perslot,
         candidate_scores_pallas,
         fused_substep_scores_pallas,
         select_rebuild_pallas,
@@ -361,15 +362,25 @@ def _beam_step_fused(
     # kernel's f32 activations overflow there, so it stays at 4096.
     if top_idx is None and sel_vals is None and not exact_sub:
         budget = 8192  # binned kernel: compute-dtype candidate block
+        row_tile = spec.row_tile or max(
+            8, min(512, budget // n_codes, _round_up_pow2(NF))
+        )
+    elif (sel_vals is not None or exact_sub) and _sel_perslot(spec):
+        # Per-slot selected kernel: activations are (R, ·) per slot, so
+        # VMEM no longer scales with n_codes — 512 is the measured-best
+        # tile at the S shapes (1024 loses ~9%, 256 loses ~15%;
+        # bench_artifacts/ktopa_breakdown_r5d.json).
+        row_tile = spec.row_tile or max(8, min(512, _round_up_pow2(NF)))
     else:
-        # The selected/candidate kernels' f32 activations scale with the
-        # MLP width; 4096 is calibrated at the S shapes (de+dh = 384).
-        # qinco2-M/L (de=dh=384) overflowed the 16MB scoped-vmem limit
-        # by 1.9MB at that budget (KERNEL_SMOKE 2026-08-20).
+        # The blocked selected/candidate kernels' f32 activations scale
+        # with the MLP width; 4096 is calibrated at the S shapes
+        # (de+dh = 384).  qinco2-M/L (de=dh=384) overflowed the 16MB
+        # scoped-vmem limit by 1.9MB at that budget
+        # (KERNEL_SMOKE 2026-08-20).
         budget = max(1024, 4096 * 384 // max(384, spec.De + spec.dh))
-    row_tile = spec.row_tile or max(
-        8, min(512, budget // n_codes, _round_up_pow2(NF))
-    )
+        row_tile = spec.row_tile or max(
+            8, min(512, budget // n_codes, _round_up_pow2(NF))
+        )
     if top_idx is None:
         pack_ids = True
         # Pass per-vector targets when the beam count divides the row

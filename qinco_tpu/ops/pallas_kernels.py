@@ -109,6 +109,17 @@ def _mlp_chain(
     return out + cond  # (RA, D) f32
 
 
+def _selected_perslot(spec: QincoSpec) -> bool:
+    """Whether the selected-scores kernel uses the per-slot (R, ·) slab
+    form (no (A·R, D) broadcasts — measured 3.26 -> 2.50 ms/step at
+    QINCo2-S) instead of the blocked (A·R, ·) form.  Per-slot unrolls
+    A·(2L+2) matmuls, so deep presets (qinco2-L, L=16) keep the blocked
+    form — there the MLP FLOPs dominate and the broadcast overhead is a
+    small fraction.  Callers size row tiles off this too: per-slot
+    activations are (R, ·) per slot, so VMEM no longer scales with A."""
+    return spec.L <= 4
+
+
 def _pack_ids_f32(d, ids):
     """Steal the 8 low mantissa bits of distances ``d`` (>= 0) for the
     candidate ids (K <= 256): the beam step then reads the winning
@@ -674,41 +685,11 @@ def _selected_scores_kernel(
         xv[:, None, :], (R // beams, beams, D)
     ).reshape(R, D)
     xh = xh_ref[:].astype(jnp.float32)
+    r = xv - xh  # residual target (R, D): substep selection ranks on it
+    # AND the final distance is ||r - out - cand||^2, so the (A·R, D)
+    # xv/cond broadcasts of the blocked form are never needed
 
     tab0 = table_ref[:].astype(dt)
-    fetches = None
-    if sub_codebook_ref is not None:
-        # ---- in-kernel exact substep top-A ------------------------------
-        r = xv - xh  # residual target (R, D)
-        C = sub_codebook_ref[:]
-        cn2 = jnp.sum(C * C, axis=1)[:, None]  # (K, 1)
-        d_sub = cn2 - 2.0 * jax.lax.dot_general(
-            C.astype(dt), r.astype(dt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, R) partial: ranking-equivalent to true sqdist per row
-        rowk = jax.lax.broadcasted_iota(jnp.int32, (K, R), dimension=0)
-        cur = _pack_ids_f32(d_sub, rowk)
-        INF = jnp.float32(jnp.inf)
-        rows, fetches = [], []
-        for _ in range(A):
-            m = jnp.min(cur, axis=0, keepdims=True)  # (1, R)
-            rows.append(m)
-            mask = cur == m  # (K, R) — EXACT one-hot (packed values are
-            # pairwise distinct per column), and it is both this round's
-            # removal mask AND the winner's fetch mask: feeding it to the
-            # MXU here deletes the separate per-slot (R, K) iota-compare
-            # mask build below
-            fetches.append(jax.lax.dot_general(
-                mask.astype(dt), tab0, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dt))  # (R, Wt)
-            cur = jnp.where(mask, INF, cur)
-        vals = jnp.concatenate(rows, axis=0)  # (A, R) packed, ascending
-    else:
-        vals = vals_ref[:]  # (A, R) packed
-    ids = jnp.bitwise_and(
-        jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
-    )  # (A, R)
 
     # Condition half of the concat layer on the R condition rows only.
     cc_cond = jnp.dot(
@@ -717,69 +698,178 @@ def _selected_scores_kernel(
     )  # (R, De)
     ccb = cc_cond + concat_b_ref[0, :]  # (R, De) f32
 
-    # Per-slot one-hot fetch: lane-iota compare against the slot's ids,
-    # then one (R, K) @ (K, ·) matmul per slot.  With the LEAN table
-    # (spec.fast + wfold_ref) only the D codeword columns are fetched —
-    # the h-init column is rank-D ([C | C·P·(I+W1)] = C·[I | P(I+W1)]),
-    # so the fetched codewords multiply into the folded weight densely:
-    # (A·R, D) @ (D, De) costs D/K-th of fetching the De-wide column
-    # through the full-K contraction (~24% less fetch MXU work at
-    # QINCo2-S).  Precision note: P·(I+W1) is pre-multiplied outside,
-    # so f32 association differs in low bits from the table route —
-    # same precision class as the fast profile's DEFAULT-precision
-    # matmuls (which is why it rides spec.fast), far below the bf16
-    # rounding the profile already accepts.
-    if fetches is not None:
-        ext = jnp.concatenate(fetches, axis=0)
-    else:
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
-        ext = jnp.concatenate(
-            [
-                jnp.dot(
-                    (col == ids[a][:, None]).astype(dt), tab0,
+    def mask_rounds():
+        """Yield per-slot (packed_val (1, R) | None, fetch_mask) pairs.
+
+        exact_sub route: A rounds of (sublane-min, mask-the-winner) over
+        the packed (K, R) distance tile — EXACT top-A, ascending (packed
+        ids make per-column values pairwise distinct, so each round
+        removes exactly one entry and tie-break order matches
+        ``topk_smallest``); the equality mask is both the removal mask
+        AND the winner's fetch one-hot.  External-vals route: the slot's
+        one-hot is a lane-iota compare against its unpacked id."""
+        if sub_codebook_ref is not None:
+            # ---- in-kernel exact substep top-A --------------------------
+            C = sub_codebook_ref[:]
+            cn2 = jnp.sum(C * C, axis=1)[:, None]  # (K, 1)
+            d_sub = cn2 - 2.0 * jax.lax.dot_general(
+                C.astype(dt), r.astype(dt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, R) partial: ranking-equivalent to true sqdist per row
+            rowk = jax.lax.broadcasted_iota(jnp.int32, (K, R), dimension=0)
+            cur = _pack_ids_f32(d_sub, rowk)
+            INF = jnp.float32(jnp.inf)
+            for _ in range(A):
+                m = jnp.min(cur, axis=0, keepdims=True)  # (1, R)
+                mask = cur == m  # (K, R) exact one-hot per column
+                yield m, mask
+                cur = jnp.where(mask, INF, cur)
+        else:
+            vals = vals_ref[:]  # (A, R) packed
+            ids_all = jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(vals, jnp.int32),
+                jnp.int32(0xFF),
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, K), dimension=1)
+            for a in range(A):
+                yield vals[a:a + 1], col == ids_all[a][:, None]  # (R, K)
+
+    if not _selected_perslot(spec):
+        # Blocked tail for deep presets (L > 4): collect the A fetch
+        # slabs and run ONE shared MLP over (A·R, ·) rows — the per-slot
+        # form below would unroll A·(2L+2) matmuls (≈550 at qinco2-L),
+        # and at L=16 the MLP FLOPs dominate so the broadcast overhead
+        # the per-slot form deletes is a small fraction anyway.
+        val_rows, fetches = [], []
+        for m, mask in mask_rounds():
+            val_rows.append(m)
+            if sub_codebook_ref is not None:
+                fet = jax.lax.dot_general(
+                    mask.astype(dt), tab0, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(dt)
-                for a in range(A)
-            ],
-            axis=0,
-        )  # (A·R, D + De) dt: [cand | h-init]  (lean: (A·R, D) = [cand])
-    cand = ext[:, :D].astype(jnp.float32)
-    De = ccb.shape[1]
-    if wfold_ref is not None:  # lean fetch
-        h_cand = jnp.dot(
-            ext[:, :D], wfold_ref[:].astype(dt),
-            preferred_element_type=jnp.float32,
+                )
+            else:
+                fet = jnp.dot(
+                    mask.astype(dt), tab0,
+                    preferred_element_type=jnp.float32,
+                )
+            fetches.append(fet.astype(dt))
+        vals = jnp.concatenate(val_rows, axis=0)  # (A, R) packed
+        ids = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
         )
-    else:
-        h_cand = ext[:, D:]
-    h = (
-        h_cand
-        + jnp.broadcast_to(ccb[None], (A, R, De)).reshape(A * R, De)
-    ).astype(dt)
+        ext = jnp.concatenate(fetches, axis=0)  # (A·R, Wt) dt
+        cand = ext[:, :D].astype(jnp.float32)
+        De = ccb.shape[1]
+        if wfold_ref is not None:  # lean fetch
+            h_cand = jnp.dot(
+                ext[:, :D], wfold_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            h_cand = ext[:, D:]
+        h = (
+            h_cand
+            + jnp.broadcast_to(ccb[None], (A, R, De)).reshape(A * R, De)
+        ).astype(dt)
+        for l in range(spec.L):
+            up = jnp.dot(
+                h, ffn_up_ref[l].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            up = jnp.maximum(up, 0.0).astype(dt)
+            down = jnp.dot(
+                up, ffn_down_ref[l].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            h = h + down.astype(dt)
+        if out_proj_ref is not None:
+            out = jnp.dot(
+                h, out_proj_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = h.astype(jnp.float32)
+        if spec.res_codeword_coeff:
+            out = out + cand
+        diff = jnp.broadcast_to(r[None], (A, R, D)).reshape(A * R, D) - out
+        d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
+        dist_ref[:] = _pack_ids_f32(d, ids).T  # (R, A)
+        return
 
-    for l in range(spec.L):
-        up = jnp.dot(
-            h, ffn_up_ref[l].astype(dt), preferred_element_type=jnp.float32
-        )
-        up = jnp.maximum(up, 0.0).astype(dt)
-        down = jnp.dot(
-            up, ffn_down_ref[l].astype(dt), preferred_element_type=jnp.float32
-        )
-        h = h + down.astype(dt)
+    # Per-slot fetch + MLP + distance on (R, ·) slabs: every slot shares
+    # the same R condition rows, so the (A·R, D) cond/xv broadcasts and
+    # the sublane concat of A (R, Wt) fetch blocks of the earlier blocked
+    # form all disappear — only A (1, R) distance rows concatenate at the
+    # end (the restructure that took the binned kernel's `perbin` profile
+    # from 69.6k to 99.1k vec/s, here applied to the exact path: measured
+    # 3.26 -> 2.50 ms/step at QINCo2-S b1024,
+    # bench_artifacts/ktopa_breakdown_r5d.json).  Costs A-way unrolled
+    # (smaller) matmuls — callers keep the blocked sibling for deep
+    # presets (see _selected_perslot).
+    #
+    # Fetch note: with the LEAN table (spec.fast + wfold_ref) only the D
+    # codeword columns pass through the one-hot contraction — the h-init
+    # column is rank-D ([C | C·P·(I+W1)] = C·[I | P(I+W1)]), so the
+    # fetched codeword multiplies into the folded weight densely:
+    # (R, D) @ (D, De) costs D/K-th of fetching the De-wide column
+    # through the full-K contraction.  Precision: P·(I+W1) is
+    # pre-multiplied outside, so f32 association differs in low bits
+    # from the table route — same precision class as the fast profile's
+    # DEFAULT-precision matmuls (which is why it rides spec.fast), far
+    # below the bf16 rounding the profile already accepts.
+    val_rows, d_rows = [], []
+    for m, mask in mask_rounds():
+        val_rows.append(m)
+        if sub_codebook_ref is not None:
+            fet = jax.lax.dot_general(
+                mask.astype(dt), tab0, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wt) f32 — exact row selection of dt table values
+        else:
+            fet = jnp.dot(
+                mask.astype(dt), tab0, preferred_element_type=jnp.float32
+            )  # (R, Wt)
+        cand = fet[:, :D]
+        if wfold_ref is not None:  # lean fetch
+            h_cand = jnp.dot(
+                fet[:, :D].astype(dt), wfold_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            h_cand = fet[:, D:]
+        h = (h_cand + ccb).astype(dt)
 
-    if out_proj_ref is not None:
-        out = jnp.dot(
-            h, out_proj_ref[:].astype(dt), preferred_element_type=jnp.float32
-        )
-    else:
-        out = h.astype(jnp.float32)
-    if spec.res_codeword_coeff:
-        out = out + cand
+        for l in range(spec.L):
+            up = jnp.dot(
+                h, ffn_up_ref[l].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            up = jnp.maximum(up, 0.0).astype(dt)
+            down = jnp.dot(
+                up, ffn_down_ref[l].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            h = h + down.astype(dt)
 
-    cond = jnp.broadcast_to(xh[None], (A, R, D)).reshape(A * R, D)
-    cand_abs = out + cond
-    diff = jnp.broadcast_to(xv[None], (A, R, D)).reshape(A * R, D) - cand_abs
-    d = jnp.sum(diff * diff, axis=-1).reshape(A, R)
+        if out_proj_ref is not None:
+            out = jnp.dot(
+                h, out_proj_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = h.astype(jnp.float32)
+
+        diff = r - out
+        if spec.res_codeword_coeff:
+            diff = diff - cand
+        d_rows.append(jnp.sum(diff * diff, axis=-1)[None, :])  # (1, R)
+
+    vals = jnp.concatenate(val_rows, axis=0)  # (A, R) packed
+    ids = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(vals, jnp.int32), jnp.int32(0xFF)
+    )  # (A, R)
+    d = jnp.concatenate(d_rows, axis=0)  # (A, R)
     dist_ref[:] = _pack_ids_f32(d, ids).T  # (R, A)
 
 
