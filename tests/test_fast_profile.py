@@ -335,6 +335,68 @@ def test_fused_topa_in_kernel_matches_external_exact_topk():
     assert (np.asarray(codes_i0) == np.asarray(codes_i1)).all()
 
 
+def test_selected_perslot_matches_blocked_form(monkeypatch):
+    """The round-5 per-slot restructure of the selected-scores kernel
+    (each extraction round's fetch runs its own (R, ·) MLP slab) is an
+    exact reformulation of the blocked (A·R, ·) form that deep presets
+    (L > 4, `_selected_perslot`) still use: same packed candidate ids,
+    distances equal to float-association tolerance."""
+    from qinco_tpu.ops import pallas_kernels as pk
+
+    spec = QincoSpec(D=16, K=32, M=4, L=2, de=12, dh=24, A=8, B=4,
+                     pallas=True, fast=True, fused_topa=True,
+                     compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(7), spec)
+    p0 = jax.tree.map(lambda a: a[0], params.steps)
+    rng = np.random.default_rng(13)
+    NF = 64
+    x = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(size=(NF, spec.D)).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+
+    outs = {}
+    for perslot in (True, False):
+        monkeypatch.setattr(pk, "_selected_perslot", lambda s: perslot)
+        # the jit cache keys on (spec, shapes) only — clear it so the
+        # monkeypatched gate is re-read at trace time
+        pk.selected_scores_pallas.clear_cache()
+        outs[perslot] = np.asarray(pk.selected_scores_pallas(
+            spec, x, xh, None, p0.codebook, p0.in_proj, p0.concat_w,
+            p0.concat_b, p0.ffn_up, p0.ffn_down, p0.out_proj,
+            n_codes=spec.A, row_tile=32, interpret=interp,
+            sub_codebook=p0.sub_codebook))
+    pk.selected_scores_pallas.clear_cache()
+    ids_a = outs[True].view(np.int32) & 0xFF
+    ids_b = outs[False].view(np.int32) & 0xFF
+    assert (ids_a == ids_b).all()
+    da = (outs[True].view(np.int32) & ~0xFF).view(np.float32)
+    db = (outs[False].view(np.int32) & ~0xFF).view(np.float32)
+    np.testing.assert_allclose(da, db, rtol=1e-2, atol=1e-5)
+
+    # the external-vals route through both forms as well
+    sub_d = np.sum(
+        (np.asarray(xh)[:, None, :]
+         - np.asarray(p0.sub_codebook)[None]) ** 2, -1)
+    d_pk = pk._pack_ids_f32(
+        jnp.asarray(sub_d.astype(np.float32)),
+        jnp.arange(spec.K, dtype=jnp.int32)[None, :])
+    vals = jnp.sort(d_pk, axis=1)[:, :spec.A].T  # (A, NF) ascending
+    for perslot in (True, False):
+        monkeypatch.setattr(pk, "_selected_perslot", lambda s: perslot)
+        pk.selected_scores_pallas.clear_cache()
+        outs[perslot] = np.asarray(pk.selected_scores_pallas(
+            spec, x, xh, vals, p0.codebook, p0.in_proj, p0.concat_w,
+            p0.concat_b, p0.ffn_up, p0.ffn_down, p0.out_proj,
+            n_codes=spec.A, row_tile=32, interpret=interp))
+    pk.selected_scores_pallas.clear_cache()
+    assert ((outs[True].view(np.int32) & 0xFF)
+            == (outs[False].view(np.int32) & 0xFF)).all()
+    np.testing.assert_allclose(
+        (outs[True].view(np.int32) & ~0xFF).view(np.float32),
+        (outs[False].view(np.int32) & ~0xFF).view(np.float32),
+        rtol=1e-2, atol=1e-5)
+
+
 def test_fused_topa_refuses_n_codes_over_K():
     """B > K at the IVF expanding step makes n_codes = max(B, A) > K;
     the in-kernel route must raise like the XLA top_k route does, not
